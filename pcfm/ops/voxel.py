@@ -1,0 +1,138 @@
+"""Voxelization ops: scatter-mean point->grid and trilinear grid->point.
+
+TPU-native formulation of the reference CUDA kernels
+(`third_party/pvcnn/modules/functional/src/voxelization/vox.cu` and
+`src/interpolate/trilinear_devox.cu` in the reference repo):
+
+* ``avg_voxelize`` — scatter-mean of per-point features into an R^3 grid.
+  The CUDA kernel uses atomicAdd (nondeterministic float order); here we use
+  a per-batch ``segment_sum`` over flattened voxel ids, which is
+  deterministic.  Count and feature sums are fused into a single segment-sum
+  by appending a ones channel.
+* ``trilinear_devoxelize`` — gather-interpolate the 8 surrounding voxels of
+  each (float) point coordinate.  The backward scatter-add of the CUDA
+  kernel comes for free from JAX autodiff of the gather.
+* ``normalize_coords`` — the exact coordinate normalization of
+  ``modules/voxelization.py:16-25`` (mean-center, max-L2-norm*2+eps, +0.5,
+  scale by R, clamp to [0, R-1]); coordinates are ``stop_gradient``-ed as in
+  the reference (``coords.detach()``).
+
+Layout note: this framework is channel-last throughout — features are
+``(B, N, C)`` and grids are ``(B, R, R, R, C)`` (NDHWC), which is the
+layout XLA:TPU prefers for convolutions and keeps the C axis on VPU lanes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize_coords(coords: jax.Array, resolution: int, normalize: bool = True,
+                     eps: float = 0.0) -> tuple[jax.Array, jax.Array]:
+    """Reference-parity voxel coordinate normalization.
+
+    Args:
+      coords: (B, N, 3) float xyz.
+      resolution: voxel grid resolution R.
+      normalize: if True, center by per-cloud mean and scale by twice the max
+        point L2-norm (+eps); else assume coords already in [-1, 1].
+    Returns:
+      (norm_coords, vox_coords): float coords in [0, R-1] and rounded int32
+      voxel coords.  Gradients do not flow through either (the reference
+      detaches coords before voxelization).
+    """
+    coords = jax.lax.stop_gradient(coords.astype(jnp.float32))
+    r = float(resolution)
+    centered = coords - jnp.mean(coords, axis=1, keepdims=True)
+    if normalize:
+        # max over points of the per-point L2 norm, per batch element
+        norm = jnp.linalg.norm(centered, axis=-1, keepdims=True)     # (B,N,1)
+        denom = jnp.max(norm, axis=1, keepdims=True) * 2.0 + eps     # (B,1,1)
+        norm_coords = centered / denom + 0.5
+    else:
+        norm_coords = (centered + 1.0) / 2.0
+    norm_coords = jnp.clip(norm_coords * r, 0.0, r - 1.0)
+    vox_coords = jnp.round(norm_coords).astype(jnp.int32)
+    return norm_coords, vox_coords
+
+
+def flatten_voxel_ids(vox_coords: jax.Array, resolution: int) -> jax.Array:
+    """(B, N, 3) int voxel coords -> (B, N) flat ids ``x*R^2 + y*R + z``."""
+    r = resolution
+    return (vox_coords[..., 0] * r + vox_coords[..., 1]) * r + vox_coords[..., 2]
+
+
+def avg_voxelize(features: jax.Array, vox_coords: jax.Array,
+                 resolution: int) -> jax.Array:
+    """Scatter-mean features into a voxel grid.
+
+    Args:
+      features: (B, N, C) float point features.
+      vox_coords: (B, N, 3) int32 voxel coords in [0, R).
+      resolution: R.
+    Returns:
+      (B, R, R, R, C) float grid; empty voxels are zero.  Matches the
+      reference ``avg_voxelize`` (vox.cu:18-110) but with deterministic
+      accumulation order.
+    """
+    b, n, c = features.shape
+    r = resolution
+    features = features.astype(jnp.float32)
+    flat = flatten_voxel_ids(vox_coords, r)                         # (B, N)
+    ones = jnp.ones((b, n, 1), features.dtype)
+    fc = jnp.concatenate([features, ones], axis=-1)                 # (B,N,C+1)
+
+    def one_batch(f, ids):
+        return jax.ops.segment_sum(f, ids, num_segments=r * r * r)
+
+    sums = jax.vmap(one_batch)(fc, flat)                            # (B,R^3,C+1)
+    cnt = sums[..., -1:]
+    grid = sums[..., :-1] / jnp.maximum(cnt, 1.0)
+    return grid.reshape(b, r, r, r, c)
+
+
+def trilinear_devoxelize(grid: jax.Array, norm_coords: jax.Array,
+                         resolution: int) -> jax.Array:
+    """Trilinear interpolation of a voxel grid at float point coordinates.
+
+    Args:
+      grid: (B, R, R, R, C) float voxel features.
+      norm_coords: (B, N, 3) float coords in [0, R-1] (from
+        ``normalize_coords``).
+    Returns:
+      (B, N, C) per-point features.  The reference kernel's boundary trick
+      (hi index collapses to lo when the fractional part is 0,
+      trilinear_devox.cu:64-75) is reproduced via ``lo + (frac > 0)``:
+      whenever frac > 0 we have coord < R-1, so lo+1 <= R-1 stays in range.
+    """
+    b, r, _, _, c = grid.shape
+    assert r == resolution
+    coords = jax.lax.stop_gradient(norm_coords.astype(jnp.float32))
+    lo_f = jnp.floor(coords)
+    frac = coords - lo_f                                            # (B,N,3)
+    lo = lo_f.astype(jnp.int32)
+    hi = lo + (frac > 0).astype(jnp.int32)
+
+    w1 = frac
+    w0 = 1.0 - frac
+    flat = grid.reshape(b, r * r * r, c)
+
+    def corner(sel_x, sel_y, sel_z):
+        x = jnp.where(sel_x, hi[..., 0], lo[..., 0])
+        y = jnp.where(sel_y, hi[..., 1], lo[..., 1])
+        z = jnp.where(sel_z, hi[..., 2], lo[..., 2])
+        idx = (x * r + y) * r + z                                   # (B,N)
+        wx = jnp.where(sel_x, w1[..., 0], w0[..., 0])
+        wy = jnp.where(sel_y, w1[..., 1], w0[..., 1])
+        wz = jnp.where(sel_z, w1[..., 2], w0[..., 2])
+        w = (wx * wy * wz)[..., None]                               # (B,N,1)
+        g = jnp.take_along_axis(flat, idx[..., None], axis=1)       # (B,N,C)
+        return w * g
+
+    out = None
+    for sx in (False, True):
+        for sy in (False, True):
+            for sz in (False, True):
+                term = corner(sx, sy, sz)
+                out = term if out is None else out + term
+    return out
