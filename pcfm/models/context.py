@@ -1,0 +1,176 @@
+"""ContextNet — multi-scale PVConv pyramid producing per-point context.
+
+Port of models.py:349-543 (_PVBlock / _PVStage / ContextNet):
+  * stem = [emb(t,cond) broadcast || xyz (|| rgb)]
+  * stages of SharedMLP channel lift + k x (PVConv -> SharedMLP -> FiLM
+    residual) at decreasing voxel resolutions
+  * optional global max-pool branch
+  * multi-scale concat -> 1x1 head with ZERO-INIT output (identity start)
+  * t-gate: alpha = sigmoid(k (t - tau)) blends PV context vs. an
+    emb-only global context (models.py:534-539)
+
+The whole module is an fp32 island: the reference forces
+``autocast(enabled=False)`` (models.py:513); here every input is cast to
+fp32 and all submodules run with dtype float32 even when the surrounding
+step computes in bf16.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pcfm.models.embeddings import timestep_embedding
+from pcfm.nn.common import kaiming_normal, make_norm, normal02
+from pcfm.nn.film import FiLM1d
+from pcfm.nn.pvconv import PVConv
+from pcfm.nn.shared_mlp import SharedMLP
+
+
+class PVBlock(nn.Module):
+    """PVConv -> SharedMLP(1x1) -> residual FiLM (models.py:349-368)."""
+    channels: int
+    resolution: int
+    with_se: bool
+    norm_type: str = "group"
+    gn_groups: int = 32
+    voxel_normalize: bool = True
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, f, c, emb, train: bool = True):
+        f, c = PVConv(self.channels, kernel_size=3,
+                      resolution=self.resolution, with_se=self.with_se,
+                      normalize=self.voxel_normalize, eps=self.eps,
+                      dtype=jnp.float32, name="pvconv")(f, c, train=train)
+        f = SharedMLP(self.channels, dtype=jnp.float32,
+                      name="post")(f, train=train)
+        film = FiLM1d(self.channels, norm_type=self.norm_type,
+                      gn_groups=self.gn_groups, name="film")
+        f = f + film(f, emb, train=train)
+        return f, c
+
+
+class PVStage(nn.Module):
+    """SharedMLP channel lift -> num_blocks x PVBlock (models.py:371-389)."""
+    out_channels: int
+    num_blocks: int
+    resolution: int
+    with_se: bool
+    norm_type: str = "group"
+    gn_groups: int = 32
+    voxel_normalize: bool = True
+
+    @nn.compact
+    def __call__(self, f, c, emb, train: bool = True):
+        f = SharedMLP(self.out_channels, dtype=jnp.float32,
+                      name="proj")(f, train=train)
+        for i in range(self.num_blocks):
+            f, c = PVBlock(self.out_channels, self.resolution, self.with_se,
+                           norm_type=self.norm_type, gn_groups=self.gn_groups,
+                           voxel_normalize=self.voxel_normalize,
+                           name=f"block_{i}")(f, c, emb, train=train)
+        return f, c
+
+
+class ContextNet(nn.Module):
+    in_point_dim: int                   # 3 / 6
+    cond_dim: int
+    emb_dim: int = 256
+    ctx_dim: int = 64
+    stage_channels: Sequence[int] = (128, 256, 256)
+    stage_blocks: Sequence[int] = (2, 2, 2)
+    stage_res: Sequence[int] = (32, 16, 8)
+    with_se: bool = True
+    norm_type: str = "group"
+    gn_groups: int = 32
+    with_global: bool = True
+    voxel_normalize: bool = True
+    use_t_gate: bool = True
+    t_gate_k: float = 10.0
+    t_gate_tau: float = 0.4
+
+    @nn.compact
+    def __call__(self, x, t, cond: Optional[jax.Array],
+                 train: bool = True):
+        """x (B,N,3|6), t (B,), cond (B,C) -> ctx (B,N,ctx_dim)."""
+        assert len(self.stage_channels) == len(self.stage_blocks) \
+            == len(self.stage_res)
+        b, n, d = x.shape
+        out_dtype = x.dtype
+        # ---- fp32 island from here on (models.py:513) ----
+        x = x.astype(jnp.float32)
+        coords = x[..., :3]
+        t = t.reshape(b).astype(jnp.float32)
+
+        t_emb = nn.silu(nn.Dense(self.emb_dim, kernel_init=normal02,
+                                 bias_init=nn.initializers.zeros,
+                                 name="t_proj")(
+            timestep_embedding(t, self.emb_dim)))
+        if cond is None or (hasattr(cond, "size") and cond.size == 0):
+            c_in = jnp.zeros((b, 1), jnp.float32)
+        else:
+            c_in = cond.astype(jnp.float32)
+        c_emb = nn.silu(nn.Dense(self.emb_dim, kernel_init=normal02,
+                                 bias_init=nn.initializers.zeros,
+                                 name="c_proj")(c_in))
+        emb = t_emb + c_emb                                         # (B,E)
+
+        feats = [jnp.broadcast_to(emb[:, None, :], (b, n, self.emb_dim)),
+                 coords]
+        use_rgb = (self.in_point_dim == 6)
+        if use_rgb and d == 6:
+            feats.append(x[..., 3:])
+        f = jnp.concatenate(feats, axis=-1)                         # (B,N,C_in)
+
+        ms_feats = []
+        c = coords
+        for i, (sc, nb, rs) in enumerate(zip(self.stage_channels,
+                                             self.stage_blocks,
+                                             self.stage_res)):
+            f, c = PVStage(sc, nb, rs, self.with_se,
+                           norm_type=self.norm_type,
+                           gn_groups=self.gn_groups,
+                           voxel_normalize=self.voxel_normalize,
+                           name=f"stage_{i}")(f, c, emb, train=train)
+            ms_feats.append(f)
+
+        if self.with_global:
+            c_last = self.stage_channels[-1]
+            g = jnp.max(f, axis=1)                                  # (B,C_last)
+            g = nn.Dense(c_last, kernel_init=kaiming_normal,
+                         bias_init=nn.initializers.zeros,
+                         name="global_0")(g)
+            g = nn.silu(g)
+            g = nn.Dense(c_last, kernel_init=kaiming_normal,
+                         bias_init=nn.initializers.zeros,
+                         name="global_1")(g)
+            ms_feats.append(jnp.broadcast_to(g[:, None, :], f.shape))
+
+        f_cat = jnp.concatenate(ms_feats, axis=-1)
+
+        h = nn.Dense(self.stage_channels[-1], kernel_init=kaiming_normal,
+                     bias_init=nn.initializers.zeros, name="head_pre")(f_cat)
+        norm = make_norm(self.norm_type, self.stage_channels[-1],
+                         self.gn_groups, name="head_norm")
+        h = norm(h, train=train) if self.norm_type in ("batch", "syncbn") \
+            else norm(h)
+        h = nn.silu(h)
+        # zero-init output: ctx_pv starts exactly at 0 (models.py:468)
+        ctx_pv = nn.Dense(self.ctx_dim, kernel_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.zeros,
+                          name="head_out")(h)                       # (B,N,ctx)
+
+        if self.use_t_gate:
+            ctx_glb = nn.Dense(self.ctx_dim, kernel_init=kaiming_normal,
+                               bias_init=nn.initializers.zeros,
+                               name="ctx_from_emb")(emb)            # (B,ctx)
+            ctx_glb = jnp.broadcast_to(ctx_glb[:, None, :], ctx_pv.shape)
+            alpha = jax.nn.sigmoid(
+                self.t_gate_k * (t[:, None, None] - self.t_gate_tau))
+            ctx = alpha * ctx_pv + (1.0 - alpha) * ctx_glb
+        else:
+            ctx = ctx_pv
+        return ctx.astype(out_dtype)

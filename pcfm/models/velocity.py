@@ -1,0 +1,151 @@
+"""Per-point velocity networks.
+
+Ports of the reference (models.py):
+  * ``VelocityNet`` (models.py:82-153) — the ``mlp`` point-flow backbone:
+    per-point residual MLP on [x || emb(t, cond)] with FiLM between blocks.
+  * ``VelocityNetWithContext`` (models.py:546-601) — the hybrid head on
+    [x || ctx || emb].
+  * ``MLP`` (models.py:40-59) — generic SiLU MLP.
+
+TPU notes: everything is (B, N, C) channel-last; the (B*N, width) GEMMs of
+the reference become (B, N, width) batched matmuls that XLA tiles onto the
+MXU directly.  CFG condition-drop is the mask form ``cond * (1 - mask)``
+(mask (B,1), 1 -> dropped).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pcfm.models.embeddings import timestep_embedding
+from pcfm.nn.common import kaiming_normal, normal02
+from pcfm.nn.film import FiLMBlock
+
+
+class MLP(nn.Module):
+    """Generic SiLU MLP with Kaiming init (reference models.py:40-59)."""
+    out_dim: int
+    width: int = 256
+    depth: int = 4
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for i in range(self.depth - 1):
+            x = nn.Dense(self.width, dtype=self.dtype,
+                         kernel_init=kaiming_normal,
+                         bias_init=nn.initializers.zeros,
+                         name=f"dense_{i}")(x)
+            x = nn.silu(x)
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout,
+                               deterministic=deterministic)(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype,
+                        kernel_init=kaiming_normal,
+                        bias_init=nn.initializers.zeros, name="out")(x)
+
+
+def _t_c_embed(mdl, t, cond, cond_drop_mask, cond_dim, emb_dim, dtype,
+               batch):
+    """Shared [t_emb + c_emb] computation (models.py:124-134)."""
+    t = t.reshape(batch)
+    t_emb = timestep_embedding(t, emb_dim).astype(dtype)
+    t_emb = nn.silu(nn.Dense(emb_dim, dtype=dtype, kernel_init=normal02,
+                             bias_init=nn.initializers.zeros,
+                             name="t_proj")(t_emb))
+    if cond_dim > 0 and cond is not None:
+        if cond_drop_mask is not None:
+            cond = cond * (1.0 - cond_drop_mask)                    # 1 -> drop
+        c_in = cond.astype(dtype)
+    else:
+        c_in = jnp.zeros((batch, cond_dim if cond_dim > 0 else 1), dtype)
+    c_emb = nn.silu(nn.Dense(emb_dim, dtype=dtype, kernel_init=normal02,
+                             bias_init=nn.initializers.zeros,
+                             name="c_proj")(c_in))
+    return t_emb + c_emb
+
+
+class VelocityNet(nn.Module):
+    """Per-point MLP velocity field v_theta(x, t, cond) (pf_backbone=mlp)."""
+    cond_dim: int
+    width: int = 512
+    depth: int = 6
+    emb_dim: int = 256
+    cfg_dropout_p: float = 0.1
+    point_dim: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, cond: Optional[jax.Array],
+                 cond_drop_mask: Optional[jax.Array] = None):
+        b, n, d = x.shape
+        assert d == self.point_dim, \
+            f"VelocityNet expected point_dim={self.point_dim}, got {d}"
+        x = x.astype(self.dtype)
+        emb = _t_c_embed(self, t, cond, cond_drop_mask, self.cond_dim,
+                         self.emb_dim, self.dtype, b)               # (B,E)
+
+        h = jnp.concatenate(
+            [x, jnp.broadcast_to(emb[:, None, :], (b, n, self.emb_dim))],
+            axis=-1)
+        h = nn.Dense(self.width, dtype=self.dtype, kernel_init=kaiming_normal,
+                     bias_init=nn.initializers.zeros, name="input")(h)
+        for i in range(self.depth - 1):
+            h = FiLMBlock(self.width, dtype=self.dtype,
+                          name=f"film_{i}")(h, emb)
+            blk = nn.Dense(self.width, dtype=self.dtype,
+                           kernel_init=kaiming_normal,
+                           bias_init=nn.initializers.zeros,
+                           name=f"block_{i}")
+            h = h + blk(nn.silu(h))
+        v = nn.Dense(self.point_dim, dtype=self.dtype,
+                     kernel_init=kaiming_normal,
+                     bias_init=nn.initializers.zeros,
+                     name="out")(nn.silu(h))
+        return v.astype(jnp.float32)
+
+
+class VelocityNetWithContext(nn.Module):
+    """Hybrid head: per-point MLP on [x || ctx || emb] (models.py:546-601)."""
+    cond_dim: int
+    point_dim: int = 3
+    ctx_dim: int = 64
+    width: int = 512
+    depth: int = 6
+    emb_dim: int = 256
+    cfg_dropout_p: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, cond: Optional[jax.Array], ctx,
+                 cond_drop_mask: Optional[jax.Array] = None):
+        b, n, d = x.shape
+        assert ctx.shape[:2] == (b, n), \
+            f"ctx shape mismatch: {ctx.shape} vs {(b, n)}"
+        x = x.astype(self.dtype)
+        emb = _t_c_embed(self, t, cond, cond_drop_mask, self.cond_dim,
+                         self.emb_dim, self.dtype, b)
+
+        h = jnp.concatenate(
+            [x, ctx.astype(self.dtype),
+             jnp.broadcast_to(emb[:, None, :], (b, n, self.emb_dim))],
+            axis=-1)
+        h = nn.Dense(self.width, dtype=self.dtype, kernel_init=kaiming_normal,
+                     bias_init=nn.initializers.zeros, name="input")(h)
+        for i in range(self.depth - 1):
+            h = FiLMBlock(self.width, dtype=self.dtype,
+                          name=f"film_{i}")(h, emb)
+            blk = nn.Dense(self.width, dtype=self.dtype,
+                           kernel_init=kaiming_normal,
+                           bias_init=nn.initializers.zeros,
+                           name=f"block_{i}")
+            h = h + blk(nn.silu(h))
+        v = nn.Dense(self.point_dim, dtype=self.dtype,
+                     kernel_init=kaiming_normal,
+                     bias_init=nn.initializers.zeros,
+                     name="out")(nn.silu(h))
+        return v.astype(jnp.float32)

@@ -1,0 +1,71 @@
+"""PVConv — point-voxel convolution, the hot block of the hybrid backbone.
+
+Port of `third_party/pvcnn/modules/pvconv.py` + `modules/voxelization.py`:
+  voxel branch: normalize+round coords -> avg_voxelize -> [Conv3d ->
+    BatchNorm(eps 1e-4) -> LeakyReLU(0.1)] x2 -> optional SE3d ->
+    trilinear devoxelize back to points
+  point branch: SharedMLP(1x1)
+  output: voxel features + point features.
+
+TPU design: the grid is NDHWC so Conv3d maps straight onto the MXU; the
+scatter/gather ops are the pure-JAX segment-sum/gather kernels in
+``pcfm.ops.voxel``.  Coordinates are stop-gradiented exactly like the
+reference (``coords.detach()``).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pcfm.nn.se import SE3d
+from pcfm.nn.shared_mlp import SharedMLP
+from pcfm.ops.voxel import avg_voxelize, normalize_coords, trilinear_devoxelize
+
+
+class Voxelization(nn.Module):
+    """Parameterless voxelizer (reference modules/voxelization.py:9-28)."""
+    resolution: int
+    normalize: bool = True
+    eps: float = 0.0
+
+    def __call__(self, features, coords):
+        norm_coords, vox_coords = normalize_coords(
+            coords, self.resolution, normalize=self.normalize, eps=self.eps)
+        grid = avg_voxelize(features, vox_coords, self.resolution)
+        return grid, norm_coords
+
+
+class PVConv(nn.Module):
+    out_channels: int
+    kernel_size: int = 3
+    resolution: int = 32
+    with_se: bool = False
+    normalize: bool = True
+    eps: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, coords, train: bool = True):
+        """features (B,N,C), coords (B,N,3) -> (fused (B,N,out), coords)."""
+        r = self.resolution
+        vox = Voxelization(r, normalize=self.normalize, eps=self.eps)
+        grid, norm_coords = vox(features, coords)                   # NDHWC
+
+        k = self.kernel_size
+        for i in range(2):
+            grid = nn.Conv(self.out_channels, (k, k, k), padding="SAME",
+                           dtype=self.dtype,
+                           kernel_init=nn.initializers.lecun_normal(),
+                           name=f"conv3d_{i}")(grid)
+            grid = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-4, axis=-1, dtype=jnp.float32,
+                                name=f"bn3d_{i}")(grid)
+            grid = nn.leaky_relu(grid, negative_slope=0.1)
+        if self.with_se:
+            grid = SE3d(self.out_channels, dtype=self.dtype, name="se")(grid)
+
+        voxel_features = trilinear_devoxelize(grid, norm_coords, r)
+        point_features = SharedMLP(self.out_channels, dtype=self.dtype,
+                                   name="point_features")(features,
+                                                          train=train)
+        return voxel_features + point_features, coords
