@@ -1,0 +1,123 @@
+"""Validation-time generation / reconstruction (the 'serve' path).
+
+Ports of the reference closures (train.py:283-355 save_val_recon,
+train.py:359-429 save_val_samples), as jitted pipelines:
+  * recon: z = enc(GT) -> point-flow integration from the prior
+  * sample: latent-flow integration z ~ flow(N(0,s^2)) -> point-flow
+Both default to EMA weights (the reference use_ema_weights swap is just a
+different params subtree here) and the Heun integrator under one lax.scan.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcfm.config import Config
+from pcfm.ops.chamfer import chamfer_l2
+from pcfm.sample import get_sampler, make_latent_prior, make_pf_prior
+from pcfm.train.state import ModelBundle, TrainState
+from pcfm.utils import save_point_cloud_ply, save_point_cloud_ply_rgb
+
+
+def _pf_variables(state: TrainState, use_ema: bool):
+    if use_ema:
+        return state.ema_pf["params"], state.ema_pf["batch_stats"]
+    return state.params["pf"], state.batch_stats["pf"]
+
+
+def _lf_params(state: TrainState, use_ema: bool):
+    return state.ema_lf["params"] if use_ema else state.params["lf"]
+
+
+def _cond_full(cfg: Config, z, cond_j):
+    if cond_j is not None:
+        return jnp.concatenate([z, cond_j.astype(z.dtype)], axis=1)
+    if cfg.cond_dim > 0:
+        pad = jnp.zeros((z.shape[0], cfg.cond_dim), z.dtype)
+        return jnp.concatenate([z, pad], axis=1)
+    return z
+
+
+def make_recon_fn(bundle: ModelBundle, use_ema: Optional[bool] = None):
+    """Build jitted recon: (state, pts, rgb?, cond?, key) -> x (B,N,D)."""
+    cfg = bundle.cfg
+    use_ema = cfg.ema_eval if use_ema is None else use_ema
+    sampler = get_sampler(cfg.sampler)
+
+    @jax.jit
+    def recon(state: TrainState, pts, rgb, cond_j, key):
+        if cfg.enc_in_channels == 6:
+            rgb_in = rgb if rgb is not None else jnp.zeros_like(pts)
+            enc_in = jnp.concatenate([pts, rgb_in], axis=-1)
+        else:
+            enc_in = pts
+        z, _, _ = bundle.apply_enc(state.params["enc"],
+                                   state.batch_stats["enc"], enc_in,
+                                   train=False)
+        cond_full = _cond_full(cfg, z, cond_j)
+        pf_params, pf_stats = _pf_variables(state, use_ema)
+        vf = bundle.pf_velocity_fn(pf_params, pf_stats)
+        b, n = pts.shape[:2]
+        x0 = make_pf_prior(key, (b, n, cfg.pf_point_dim),
+                           cfg.point_prior_std, cfg.color_prior,
+                           cfg.color_prior_std)
+        return sampler(vf, x0, max(1, cfg.sample_steps), cond=cond_full,
+                       guidance_scale=cfg.guidance_scale)
+
+    return recon
+
+
+def make_sample_fn(bundle: ModelBundle, use_ema: Optional[bool] = None):
+    """Build jitted unconditional generation:
+    (state, cond?, key, (B, N)) -> x (B,N,D)."""
+    cfg = bundle.cfg
+    use_ema = cfg.ema_eval if use_ema is None else use_ema
+    sampler = get_sampler(cfg.sampler)
+
+    @functools.partial(jax.jit, static_argnames=("batch", "n_points"))
+    def sample(state: TrainState, cond_j, key, batch: int, n_points: int):
+        k_z, k_x = jax.random.split(key)
+        z0 = make_latent_prior(k_z, batch, cfg.latent_dim,
+                               cfg.latent_prior_std)
+        lf_vf = bundle.lf_velocity_fn(_lf_params(state, use_ema))
+        # latent flow is unconditional (cond=None both in train and here)
+        z = sampler(lf_vf, z0, max(1, cfg.sample_steps), cond=None,
+                    guidance_scale=0.0)
+        cond_full = _cond_full(cfg, z, cond_j)
+        pf_params, pf_stats = _pf_variables(state, use_ema)
+        vf = bundle.pf_velocity_fn(pf_params, pf_stats)
+        x0 = make_pf_prior(k_x, (batch, n_points, cfg.pf_point_dim),
+                           cfg.point_prior_std, cfg.color_prior,
+                           cfg.color_prior_std)
+        return sampler(vf, x0, max(1, cfg.sample_steps), cond=cond_full,
+                       guidance_scale=cfg.guidance_scale)
+
+    return sample
+
+
+def dump_clouds(x: np.ndarray, gt_pts: np.ndarray,
+                gt_rgb: Optional[np.ndarray], out_dir: str, count: int):
+    """PLY dumps of predictions + ground truth (train.py:345-353)."""
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(min(count, x.shape[0])):
+        if x.shape[-1] == 6 and gt_rgb is not None:
+            save_point_cloud_ply_rgb(x[i, :, :3], np.clip(x[i, :, 3:], 0, 1),
+                                     os.path.join(out_dir, f"pred_{i}.ply"))
+            save_point_cloud_ply_rgb(gt_pts[i], np.clip(gt_rgb[i], 0, 1),
+                                     os.path.join(out_dir, f"gt_{i}.ply"))
+        else:
+            save_point_cloud_ply(x[i, :, :3] if x.shape[-1] == 6 else x[i],
+                                 os.path.join(out_dir, f"pred_{i}.ply"))
+            save_point_cloud_ply(gt_pts[i],
+                                 os.path.join(out_dir, f"gt_{i}.ply"))
+
+
+def val_cd(x: jax.Array, pts: jax.Array) -> float:
+    """Mean train-time CD between generated and GT xyz."""
+    xyz = x[:, :, :3] if x.shape[-1] == 6 else x
+    return float(jnp.mean(chamfer_l2(xyz, pts)))

@@ -1,0 +1,234 @@
+"""End-to-end training tests: tiny FM runs (mlp + hybrid), samplers,
+checkpoint auto-resume, schedules, EMA."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pcfm.config import Config
+from pcfm.sample import (euler_sample, heun_sample, make_guided,
+                         midpoint_euler_sample, rk4_sample, make_pf_prior)
+from pcfm.train import checkpoint as ckpt
+from pcfm.train.loop import epoch_scalars, train
+from pcfm.train.state import cosine_lr, ema_update, init_state
+from pcfm.train.step import make_train_step
+
+
+def tiny_cfg(**kw):
+    base = dict(pf_backbone="mlp", latent_dim=16, enc_width=16, enc_depth=4,
+                pf_width=32, pf_depth=3, pf_emb_dim=16, lf_width=32,
+                lf_depth=3, lf_emb_dim=16, warmup_steps=0, amp=False,
+                has_rgb=False, cond_dim=0, sample_steps=4)
+    base.update(kw)
+    return Config(**base)
+
+
+# ---------------- samplers ----------------
+
+def test_samplers_integrate_linear_field():
+    """For v(x,t) = a (constant), all integrators give x0 + a exactly."""
+    a = jnp.asarray([1.0, -2.0, 0.5])
+
+    def vf(x, t, cond):
+        return jnp.broadcast_to(a, x.shape)
+
+    x0 = jnp.zeros((2, 5, 3))
+    for fn in (euler_sample, midpoint_euler_sample, heun_sample, rk4_sample):
+        x1 = fn(vf, x0, steps=8)
+        np.testing.assert_allclose(np.asarray(x1),
+                                   np.broadcast_to(np.asarray(a), (2, 5, 3)),
+                                   atol=1e-5)
+
+
+def test_heun_matches_reference_recursion():
+    """Heun with v(x,t)=x must match the closed-form (1+dt+dt^2/2)^steps."""
+    def vf(x, t, cond):
+        return x
+
+    x0 = jnp.ones((1, 1, 1))
+    steps = 5
+    x1 = heun_sample(vf, x0, steps=steps)
+    dt = 1.0 / steps
+    want = (1 + dt + dt * dt / 2) ** steps
+    np.testing.assert_allclose(float(x1[0, 0, 0]), want, rtol=1e-5)
+
+
+def test_guided_velocity_formula():
+    """CFG: v = v_c + s (v_c - v_u) with the zero-cond unconditional."""
+    def vf(x, t, cond):
+        # velocity = sum(cond) per batch element
+        return jnp.sum(cond, axis=-1)[:, None, None] * jnp.ones_like(x)
+
+    cond = jnp.asarray([[2.0]])
+    g = make_guided(vf, cond, guidance_scale=0.5)
+    v = g(jnp.zeros((1, 3, 3)), jnp.zeros((1,)))
+    # v_c = 2, v_u = 0 -> 2 + 0.5*2 = 3
+    np.testing.assert_allclose(np.asarray(v), 3.0, atol=1e-6)
+
+
+def test_pf_prior_modes():
+    key = jax.random.PRNGKey(0)
+    g = make_pf_prior(key, (4, 100, 6), 1.0, "gauss", 0.5)
+    u = make_pf_prior(key, (4, 100, 6), 1.0, "uniform")
+    z = make_pf_prior(key, (4, 100, 6), 1.0, "zeros")
+    assert float(jnp.std(g[..., 3:])) < 0.7   # std 0.5 gauss
+    assert float(jnp.min(u[..., 3:])) >= 0.0 and float(jnp.max(u[..., 3:])) <= 1.0
+    np.testing.assert_allclose(np.asarray(z[..., 3:]), 0.0)
+    x3 = make_pf_prior(key, (4, 100, 3), 2.0)
+    assert 1.5 < float(jnp.std(x3)) < 2.5
+
+
+# ---------------- schedules / EMA ----------------
+
+def test_cosine_lr_matches_reference_formula():
+    import math
+    for step, total, base, mn, warm in [(0, 100, 1e-3, 1e-6, 10),
+                                        (5, 100, 1e-3, 1e-6, 10),
+                                        (50, 100, 1e-3, 1e-6, 10),
+                                        (100, 100, 1e-3, 1e-6, 10)]:
+        got = float(cosine_lr(step, total, base, mn, warm))
+        if step < warm:
+            want = mn + (base - mn) * step / max(1, warm)
+        else:
+            t = (step - warm) / max(1, total - warm)
+            want = mn + 0.5 * (base - mn) * (1 + math.cos(math.pi * t))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_ema_update():
+    shadow = {"a": jnp.ones(3)}
+    new = {"a": jnp.zeros(3)}
+    out = ema_update(shadow, new, 0.9)
+    np.testing.assert_allclose(np.asarray(out["a"]), 0.9, atol=1e-6)
+
+
+def test_epoch_scalars_warmups():
+    cfg = tiny_cfg(geom_warmup_epochs=10, cfg_drop_warmup_epochs=4,
+                   cfg_drop_p=0.2, pointflow_rgb=True, has_rgb=True)
+    c, d = epoch_scalars(cfg, 5)
+    assert float(c) == 0.0 and abs(float(d) - 0.2) < 1e-6
+    c, d = epoch_scalars(cfg, 2)
+    assert abs(float(d) - 0.1) < 1e-6
+    c, _ = epoch_scalars(cfg, 11)
+    assert float(c) == 1.0
+
+
+# ---------------- end-to-end tiny runs ----------------
+
+def _run_steps(cfg, n_steps, batch, seed=0):
+    rng = jax.random.PRNGKey(seed)
+    bundle, state, tx = init_state(cfg, rng, total_steps=n_steps * 10)
+    step = make_train_step(bundle, tx, donate=False)
+    losses = []
+    k = jax.random.PRNGKey(seed + 1)
+    for _ in range(n_steps):
+        k, sk = jax.random.split(k)
+        state, m = step(state, batch, sk, jnp.float32(1.0), jnp.float32(0.1))
+        losses.append(float(m["loss"]))
+    return state, losses
+
+
+def test_tiny_mlp_rgb_cond_training_loss_decreases():
+    cfg = tiny_cfg(has_rgb=True, cond_dim=2, pointflow_rgb=True,
+                   use_rgb_in_latent=True)
+    key = jax.random.PRNGKey(0)
+    batch = {"pts": jax.random.normal(key, (4, 32, 3)),
+             "rgb": jax.random.uniform(key, (4, 32, 3)),
+             "cond": jax.random.normal(key, (4, 2))}
+    _, losses = _run_steps(cfg, 60, batch)
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_tiny_hybrid_training_runs():
+    cfg = tiny_cfg(pf_backbone="hybrid", ctx_dim=8, ctx_emb_dim=16,
+                   ctx_stage_channels=[8], ctx_stage_blocks=[1],
+                   ctx_stage_res=[4], has_rgb=True, cond_dim=1,
+                   pointflow_rgb=True, use_rgb_in_latent=True)
+    key = jax.random.PRNGKey(0)
+    batch = {"pts": jax.random.normal(key, (2, 24, 3)),
+             "rgb": jax.random.uniform(key, (2, 24, 3)),
+             "cond": jax.random.normal(key, (2, 1))}
+    state, losses = _run_steps(cfg, 8, batch)
+    assert np.isfinite(losses).all()
+    # BN stats actually updated
+    bn_mean = jax.tree_util.tree_leaves(state.batch_stats["pf"])[0]
+    assert float(jnp.abs(bn_mean).max()) >= 0.0
+
+
+def test_vicreg_and_adversary_wiring():
+    cfg = tiny_cfg(has_rgb=False, cond_dim=2, lambda_zreg=1e-3,
+                   lambda_var=0.1, lambda_cov=0.01, lambda_pair=0.1,
+                   lambda_adv=0.1)
+    key = jax.random.PRNGKey(0)
+    batch = {"pts": jax.random.normal(key, (4, 16, 3)),
+             "cond": jax.random.normal(key, (4, 2))}
+    rng = jax.random.PRNGKey(0)
+    bundle, state, tx = init_state(cfg, rng, 100)
+    assert "adv" in state.params
+    step = make_train_step(bundle, tx, donate=False)
+    state, m = step(state, batch, rng, jnp.float32(0.0), jnp.float32(0.0))
+    for k in ("loss_zreg", "loss_var", "loss_cov", "loss_pair", "loss_adv"):
+        assert k in m and np.isfinite(float(m[k]))
+
+
+def test_full_loop_synthetic_with_resume(tmp_path):
+    cfg = tiny_cfg(dataset_type="synthetic", epochs=2, save_every=1,
+                   batch_size=4, tr_max_sample_points=32,
+                   te_max_sample_points=32, num_workers=0,
+                   out_dir=str(tmp_path / "run"), vis_count=1,
+                   geom_warmup_epochs=0, sp=1, dp=1)
+    out = train(cfg, verbose=False)
+    assert out["epochs_run"] == 2
+    # checkpoints + sample dumps exist
+    path, ep = ckpt.find_latest(cfg.out_dir)
+    assert ep == 2 and path is not None
+    assert os.path.isfile(os.path.join(cfg.out_dir, "samples_ep0002",
+                                       "pred_0.ply"))
+    # resume: extending epochs picks up from ep 3
+    cfg2 = cfg.replace(epochs=3)
+    out2 = train(cfg2, verbose=False)
+    assert out2["epochs_run"] == 1
+    # completed run is a no-op
+    out3 = train(cfg2, verbose=False)
+    assert out3["epochs_run"] == 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_cfg()
+    bundle, state, tx = init_state(cfg, jax.random.PRNGKey(0), 100)
+    step = make_train_step(bundle, tx, donate=False)
+    batch = {"pts": jax.random.normal(jax.random.PRNGKey(1), (2, 16, 3))}
+    state, _ = step(state, batch, jax.random.PRNGKey(2), jnp.float32(0),
+                    jnp.float32(0))
+    ckpt.save(str(tmp_path), 7, state, cfg)
+    _, state2, _ = init_state(cfg, jax.random.PRNGKey(3), 100)
+    state2, start_ep, gs = ckpt.auto_resume(str(tmp_path), state2,
+                                            verbose=False)
+    assert start_ep == 8 and gs == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_cli_parses_reference_command():
+    """The reference README command's flag surface must parse."""
+    from pcfm.train.cli import parse_config
+    cfg = parse_config([
+        "--dataset_type", "partnet_h5", "--data_dir", "/tmp/x",
+        "--batch_size", "8", "--epochs", "3000", "--save_every", "100",
+        "--tr_max_sample_points", "20000", "--te_max_sample_points", "20000",
+        "--tdcr_use_norm", "--latent_dim", "128",
+        "--partnet_cond_policy", "mode",
+        "--lambda_pair", "0.1", "--lambda_var", "1.0",
+        "--lambda_cov", "0.01", "--lambda_zreg", "1e-4",
+        "--lambda_adv", "0.0", "--lambda_color", "1.0",
+        "--use_rgb_in_latent", "--pointflow_rgb",
+        "--color_prior", "uniform",
+        "--partnet_report_file_train", "/tmp/report.json",
+        "--out_dir", "/tmp/run"])
+    assert cfg.latent_dim == 128
+    assert cfg.lambda_zreg == 1e-4
+    assert cfg.color_prior == "uniform"
+    assert cfg.partnet_report_file_train == "/tmp/report.json"
