@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark: the reference's headline workload on one TPU chip.
+
+Reference baseline (BASELINE.md): ~25 s/epoch for 20k-point RGB training,
+batch 8, latent_dim 128, `mlp` point-flow backbone, on 1x H100
+(README.md:153).  The Scissors-class dataset is 47 models x 50 poses =
+2350 clouds -> 293 steps/epoch at batch 8 (drop_last), so
+
+    sec/epoch = measured_step_time * 293.
+
+This script times the full jitted train step (fwd + bwd + AdamW + EMA) with
+on-device data, prints ONE JSON line on stdout, and extra detail on stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from pcfm.config import Config
+from pcfm.train.state import init_state
+from pcfm.train.step import make_train_step
+
+STEPS_PER_EPOCH = 293          # 47 Scissors models x 50 poses / batch 8
+BASELINE_SEC_PER_EPOCH = 25.0  # reference README.md:153 (1x H100)
+
+
+def bench_step(cfg: Config, b: int, n: int, iters: int = 50,
+               warmup: int = 5) -> float:
+    bundle, state, tx = init_state(cfg, jax.random.PRNGKey(0),
+                                   total_steps=cfg.epochs * STEPS_PER_EPOCH)
+    step = make_train_step(bundle, tx, donate=True)
+    key = jax.random.PRNGKey(1)
+    batch = {"pts": jax.random.normal(key, (b, n, 3), jnp.float32),
+             "rgb": jax.random.uniform(key, (b, n, 3), jnp.float32)}
+    if cfg.cond_dim:
+        batch["cond"] = jax.random.normal(key, (b, cfg.cond_dim),
+                                          jnp.float32)
+    batch = jax.device_put(batch)
+    c_on, d_p = jnp.float32(1.0), jnp.float32(0.1)
+
+    rngs = [jax.random.fold_in(key, i) for i in range(warmup + iters)]
+    for i in range(warmup):
+        state, m = step(state, batch, rngs[i], c_on, d_p)
+    # NOTE: block_until_ready is unreliable over the axon tunnel (returns
+    # before execution completes); a host readback of the loss forces the
+    # whole dependent chain of steps.
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, batch, rngs[warmup + i], c_on, d_p)
+    float(m["loss"])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev}", file=sys.stderr)
+
+    b, n = 8, 20000
+    cfg = Config(pf_backbone="mlp", latent_dim=128, has_rgb=True,
+                 cond_dim=1, pointflow_rgb=True, use_rgb_in_latent=True,
+                 amp=True, use_bf16=True, tr_max_sample_points=n,
+                 batch_size=b, warmup_steps=0)
+    step_time = bench_step(cfg, b, n)
+    sec_per_epoch = step_time * STEPS_PER_EPOCH
+    pts_per_sec = b * n / step_time
+    print(f"[bench] mlp 20k RGB: {step_time*1e3:.2f} ms/step, "
+          f"{pts_per_sec/1e6:.2f}M pts/s, {sec_per_epoch:.2f} s/epoch "
+          f"(293 steps)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "train_sec_per_epoch_20k_rgb_mlp",
+        "value": round(sec_per_epoch, 3),
+        "unit": "s/epoch (293 steps, batch 8, 20k pts, 1 chip)",
+        "vs_baseline": round(BASELINE_SEC_PER_EPOCH / sec_per_epoch, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
