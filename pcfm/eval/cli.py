@@ -1,0 +1,81 @@
+"""Evaluation CLI: CD / EMD / F-score of a trained model on its test set.
+
+Two protocols, mirroring the reference's train-time evals (train.py:283-429)
+but as a standalone offline pass over the WHOLE test split:
+  * recon — z = enc(GT), point-flow from prior, metrics vs. GT
+  * gen   — latent-flow z samples, point-flow, metrics vs. GT batches
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcfm.data import DataLoader, get_datasets
+from pcfm.eval.metrics import aggregate, cloud_metrics
+from pcfm.sample.cli import load_run
+from pcfm.train.evaluate import make_recon_fn, make_sample_fn
+
+
+def main(argv: Optional[Sequence[str]] = None):
+    p = argparse.ArgumentParser("pcfm evaluation")
+    p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--mode", type=str, default="both",
+                   choices=["recon", "gen", "both"])
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--max_batches", type=int, default=0,
+                   help="0 = whole test set")
+    p.add_argument("--sample_steps", type=int, default=None)
+    p.add_argument("--sampler", type=str, default=None)
+    p.add_argument("--guidance_scale", type=float, default=None)
+    p.add_argument("--emd_max_points", type=int, default=4096)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    over = {k: getattr(args, k) for k in
+            ("data_dir", "batch_size", "sample_steps", "sampler",
+             "guidance_scale")}
+    cfg, bundle, state, ep = load_run(args.out_dir, over)
+    _, te_ds = get_datasets(cfg)
+    loader = DataLoader(te_ds, cfg.batch_size, shuffle=False, drop_last=True,
+                        seed=cfg.seed, num_workers=2)
+
+    recon_fn = make_recon_fn(bundle)
+    sample_fn = make_sample_fn(bundle)
+    key = jax.random.PRNGKey(args.seed)
+
+    results = {}
+    for mode in (["recon", "gen"] if args.mode == "both" else [args.mode]):
+        batches = []
+        for bi, batch in enumerate(loader.epoch_batches(0)):
+            if args.max_batches and bi >= args.max_batches:
+                break
+            pts = jnp.asarray(batch["test_points"], jnp.float32)
+            rgb = batch.get("test_rgb")
+            rgb = jnp.asarray(rgb, jnp.float32) if rgb is not None else None
+            cond = batch.get("cond")
+            cond = jnp.asarray(cond, jnp.float32) if cond is not None else None
+            key, k1 = jax.random.split(key)
+            if mode == "recon":
+                x = recon_fn(state, pts, rgb, cond, k1)
+            else:
+                x = sample_fn(state, cond, k1, pts.shape[0], pts.shape[1])
+            batches.append(cloud_metrics(x, pts,
+                                         emd_max_points=args.emd_max_points,
+                                         key=k1))
+        results[mode] = aggregate(batches)
+
+    out = {"epoch": ep, "sampler": cfg.sampler, "steps": cfg.sample_steps,
+           **{f"{m}_{k}": round(v, 6) for m, r in results.items()
+              for k, v in r.items()}}
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

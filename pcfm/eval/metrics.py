@@ -1,0 +1,58 @@
+"""Evaluation metrics over datasets: CD / EMD / F-score.
+
+The reference evaluates via README smoke snippets + train-time prints
+(SURVEY.md §4); here it is a first-class API that batches over a whole test
+set, optionally sharded across devices on the batch axis.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcfm.ops.chamfer import chamfer_distance, fscore
+from pcfm.ops.emd import earth_mover_distance
+
+
+def cloud_metrics(pred: jax.Array, gt: jax.Array,
+                  emd_max_points: int = 4096,
+                  fscore_threshold: float = 0.001,
+                  key: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
+    """Per-cloud metrics between (B,N,3[+]) predictions and GT.
+
+    EMD cost is O(N*M) memory (the approxmatch match matrix — the reference
+    CUDA kernel has the same footprint, emd_kernel.cu:182), so clouds larger
+    than ``emd_max_points`` are randomly subsampled for EMD only.
+    """
+    pxyz = pred[..., :3].astype(jnp.float32)
+    gxyz = gt[..., :3].astype(jnp.float32)
+    d1, d2, _, _ = chamfer_distance(pxyz, gxyz)
+    cd = jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)
+    f, p1, p2 = fscore(d1, d2, threshold=fscore_threshold)
+
+    n, m = pxyz.shape[1], gxyz.shape[1]
+    if max(n, m) > emd_max_points:
+        key = jax.random.PRNGKey(0) if key is None else key
+        k1, k2 = jax.random.split(key)
+        if n > emd_max_points:
+            idx = jax.random.choice(k1, n, (emd_max_points,), replace=False)
+            pxyz = pxyz[:, idx]
+        if m > emd_max_points:
+            idx = jax.random.choice(k2, m, (emd_max_points,), replace=False)
+            gxyz = gxyz[:, idx]
+    emd = earth_mover_distance(pxyz, gxyz)
+    return {"cd": cd, "emd": emd, "fscore": f,
+            "precision": p1, "recall": p2}
+
+
+def aggregate(metric_batches: Iterable[Dict[str, jax.Array]]) -> Dict[str, float]:
+    sums: Dict[str, float] = {}
+    count = 0
+    for mb in metric_batches:
+        b = int(np.asarray(mb["cd"]).shape[0])
+        count += b
+        for k, v in mb.items():
+            sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
+    return {k: v / max(1, count) for k, v in sums.items()}

@@ -22,6 +22,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def auto_mesh_sizes(batch_size: int, n_points: int, dp: int = -1,
+                    sp: int = 1, n_devices: Optional[int] = None):
+    """Clamp requested (dp, sp) to sizes that divide (batch, points) and fit
+    the device count; dp=-1 means as many as possible."""
+    n = n_devices if n_devices is not None else len(jax.devices())
+    sp = max(1, int(sp))
+    while sp > 1 and (n_points % sp or n % sp):
+        sp -= 1
+    dp = (n // sp) if (dp is None or dp <= 0) else int(dp)
+    dp = max(1, min(dp, n // sp))
+    while dp > 1 and batch_size % dp:
+        dp -= 1
+    return dp, sp
+
+
 def make_mesh(dp: int = -1, sp: int = 1,
               devices=None) -> Optional[Mesh]:
     """Build a (data, points) mesh.  dp=-1 uses all remaining devices.

@@ -21,6 +21,7 @@ import numpy as np
 from pcfm.config import Config
 from pcfm.data import DataLoader, get_datasets, to_model_batch
 from pcfm.parallel import make_mesh, replicate_state, shard_batch
+from pcfm.parallel.mesh import auto_mesh_sizes
 from pcfm.train import checkpoint as ckpt
 from pcfm.train.evaluate import (dump_clouds, make_recon_fn, make_sample_fn,
                                  val_cd)
@@ -48,7 +49,9 @@ def train(cfg: Config, verbose: bool = True) -> dict:
 
     # ---- data (sets cfg.cond_dim / cfg.has_rgb) ----
     tr_ds, te_ds = get_datasets(cfg)
-    mesh = make_mesh(cfg.dp, cfg.sp)
+    dp, sp = auto_mesh_sizes(cfg.batch_size, cfg.tr_max_sample_points,
+                             cfg.dp, cfg.sp)
+    mesh = make_mesh(dp, sp)
     world = jax.process_count()
     train_loader = DataLoader(tr_ds, cfg.batch_size, shuffle=True,
                               drop_last=True, seed=cfg.seed,
