@@ -49,6 +49,10 @@ def train_step(bundle: ModelBundle, tx, state: TrainState,
     rgb = batch.get("rgb")
     cond_j = batch.get("cond")
     bsz, n, _ = pts.shape
+    if cond_j is None and cfg.cond_dim > 0:
+        # zero-pad a missing condition (reference pads in val,
+        # train.py:321-324; keeps pf_cond_dim consistent)
+        cond_j = jnp.zeros((bsz, cfg.cond_dim), jnp.float32)
     keys = jax.random.split(rng, 6)
     k_t, k_prior, k_tz, k_priorz, k_drop, k_pair = keys
 
