@@ -106,8 +106,18 @@ def load_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
 
         names = [p[0] for p in props]
         if fmt == "ascii":
-            data = np.loadtxt(f, max_rows=n_vertex, dtype=np.float64)
-            data = np.atleast_2d(data)
+            data = None
+            try:
+                from pcfm.native import parse_ascii_rows
+                data = parse_ascii_rows(f.read(), len(props), n_vertex)
+            except Exception:
+                data = None
+            if data is None or data.shape[0] != n_vertex:
+                f.seek(0)
+                while not f.readline().strip().startswith(b"end_header"):
+                    pass
+                data = np.atleast_2d(
+                    np.loadtxt(f, max_rows=n_vertex, dtype=np.float64))
             rec = {name: data[:, i] for i, (name, _) in enumerate(props)}
         elif fmt == "binary_little_endian":
             dt = np.dtype([(name, "<" + d) for name, d in props])
