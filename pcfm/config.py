@@ -123,6 +123,10 @@ class Config:
     dp: int = -1                          # data-parallel size (-1: all devices)
     sp: int = 1                           # point-axis (sequence) parallel size
     donate: bool = True
+    # ========== Observability ==========
+    profile_dir: str = ""                 # write a jax.profiler trace of a few steps
+    profile_steps: int = 5
+    log_every: int = 50                   # step-metric print cadence (rank 0)
 
     # ---- derived at runtime (set by the data layer, like the reference
     # writes back onto args — datasets.py:694-696,713-714) ----

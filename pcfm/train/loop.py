@@ -100,6 +100,8 @@ def train(cfg: Config, verbose: bool = True) -> dict:
     lp_ema, lz_ema = MetricEMA(), MetricEMA()
     timer = Timer()
     last_metrics = {}
+    profiling = bool(cfg.profile_dir) and rank == 0
+    global_step_seen = 0
 
     for ep in range(start_epoch, cfg.epochs + 1):
         color_on, drop_p = epoch_scalars(cfg, ep)
@@ -110,9 +112,19 @@ def train(cfg: Config, verbose: bool = True) -> dict:
                                 cond_dim=cfg.cond_dim)
             mb = shard_batch(mb, mesh)
             rng, sk = jax.random.split(rng)
+            if profiling and global_step_seen == 1:
+                # skip step 0 (compile); trace a few steady-state steps
+                jax.profiler.start_trace(cfg.profile_dir)
             timer.tic()
             state, metrics = step_fn(state, mb, sk, color_on, drop_p)
             n_steps += 1
+            global_step_seen += 1
+            if profiling and global_step_seen == 1 + cfg.profile_steps:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"[profile] trace written to {cfg.profile_dir}")
         # sync once per epoch for the metric prints
         last_metrics = {k: float(v) for k, v in metrics.items()}
         lp_ema.update(last_metrics["loss_point"])
