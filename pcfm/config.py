@@ -96,7 +96,7 @@ class Config:
 
     # ========== Sampling / CFG / EMA ==========
     sample_steps: int = 50
-    sampler: str = "heun"                 # euler | midpoint | heun | rk4
+    sampler: str = "heun"                 # euler | midpoint | heun | rk4 | dopri5
     guidance_scale: float = 0.0
     ema_decay: float = 0.999
     ema_eval: bool = True

@@ -47,7 +47,7 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--n_points", type=int, default=2048)
     p.add_argument("--sample_steps", type=int, default=None)
     p.add_argument("--sampler", type=str, default=None,
-                   choices=["euler", "midpoint", "heun", "rk4"])
+                   choices=["euler", "midpoint", "heun", "rk4", "dopri5"])
     p.add_argument("--guidance_scale", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cond", type=float, nargs="*", default=None,

@@ -124,11 +124,83 @@ def rk4_sample(vf: VelocityFn, x0: jax.Array, steps: int,
     return _scan_steps(step, x0, steps)
 
 
+_DOPRI5_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
+_DOPRI5_A = (
+    (),
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+_DOPRI5_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784,
+              11 / 84, 0.0)
+_DOPRI5_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+              187 / 2100, 1 / 40)
+
+
+def dopri5_sample(vf: VelocityFn, x0: jax.Array, steps: int = 50,
+                  cond: Optional[jax.Array] = None,
+                  guidance_scale: float = 0.0, rtol: float = 1e-3,
+                  atol: float = 1e-4, max_steps: Optional[int] = None
+                  ) -> jax.Array:
+    """Adaptive Dormand-Prince RK45 on t in [0, 1] under one
+    ``lax.while_loop`` (the torchdiffeq-style sampler of BASELINE config 4,
+    jit-safe with a bounded iteration count).
+
+    ``steps`` seeds the initial dt (1/steps); ``max_steps`` bounds the
+    attempt count (default 8*steps).
+    """
+    v = make_guided(vf, cond, guidance_scale)
+    b = x0.shape[0]
+    max_steps = int(max_steps or 8 * max(1, steps))
+    dt0 = 1.0 / max(1, steps)
+
+    def eval_v(x, t):
+        return v(x, jnp.full((b,), t, x0.dtype))
+
+    def cond_fn(state):
+        x, t, dt, it = state
+        return jnp.logical_and(t < 1.0 - 1e-8, it < max_steps)
+
+    def body(state):
+        x, t, dt, it = state
+        dt = jnp.minimum(dt, 1.0 - t)
+        ks = []
+        for i in range(7):
+            xi = x
+            for j, a in enumerate(_DOPRI5_A[i]):
+                xi = xi + dt * a * ks[j]
+            ks.append(eval_v(xi, t + _DOPRI5_C[i] * dt))
+        x5 = x
+        x4 = x
+        for i in range(7):
+            x5 = x5 + dt * _DOPRI5_B5[i] * ks[i]
+            x4 = x4 + dt * _DOPRI5_B4[i] * ks[i]
+        err = x5 - x4
+        scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x5))
+        err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+        accept = err_norm <= 1.0
+        factor = jnp.clip(0.9 * (1.0 / jnp.maximum(err_norm, 1e-10)) ** 0.2,
+                          0.2, 5.0)
+        new_x = jnp.where(accept, x5, x)
+        new_t = jnp.where(accept, t + dt, t)
+        new_dt = dt * factor
+        return new_x, new_t, new_dt, it + 1
+
+    x, t, _, _ = jax.lax.while_loop(
+        cond_fn, body,
+        (x0, jnp.float32(0.0), jnp.float32(dt0), jnp.int32(0)))
+    return x
+
+
 SAMPLERS = {
     "euler": euler_sample,
     "midpoint": midpoint_euler_sample,
     "heun": heun_sample,
     "rk4": rk4_sample,
+    "dopri5": dopri5_sample,
 }
 
 

@@ -105,7 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
     # ========== Sampling / CFG / EMA ==========
     flag("--sample_steps", type=int, default=d.sample_steps)
     flag("--sampler", type=str, default=d.sampler,
-         choices=["euler", "midpoint", "heun", "rk4"])
+         choices=["euler", "midpoint", "heun", "rk4", "dopri5"])
     flag("--guidance_scale", type=float, default=d.guidance_scale)
     flag("--ema_decay", type=float, default=d.ema_decay)
     flag("--ema_eval", action="store_true", default=d.ema_eval)

@@ -232,3 +232,17 @@ def test_cli_parses_reference_command():
     assert cfg.lambda_zreg == 1e-4
     assert cfg.color_prior == "uniform"
     assert cfg.partnet_report_file_train == "/tmp/report.json"
+
+
+def test_dopri5_sampler():
+    from pcfm.sample import dopri5_sample
+    import numpy as np
+    a = jnp.asarray([1.0, -2.0, 0.5])
+    x1 = dopri5_sample(lambda x, t, c: jnp.broadcast_to(a, x.shape),
+                       jnp.zeros((2, 5, 3)), steps=10)
+    np.testing.assert_allclose(np.asarray(x1),
+                               np.broadcast_to(np.asarray(a), (2, 5, 3)),
+                               atol=1e-5)
+    x2 = dopri5_sample(lambda x, t, c: x, jnp.ones((1, 1, 1)), steps=10,
+                       rtol=1e-6, atol=1e-8)
+    assert abs(float(x2[0, 0, 0]) - np.e) < 1e-5
