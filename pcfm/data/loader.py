@@ -121,6 +121,26 @@ class DataLoader:
             stop.set()
 
 
+def get_data_loaders(cfg, tr_dataset=None, te_dataset=None,
+                     rank: int = 0, world_size: int = 1) -> Dict:
+    """Loader-factory parity with the reference ``get_data_loaders``
+    (datasets.py:719-742): train (shuffled), train_unshuffle, test."""
+    if tr_dataset is None or te_dataset is None:
+        from pcfm.data.h5_dataset import get_datasets
+        tr_dataset, te_dataset = get_datasets(cfg)
+    common = dict(seed=cfg.seed, num_workers=cfg.num_workers, rank=rank,
+                  world_size=world_size)
+    return {
+        "train_loader": DataLoader(tr_dataset, cfg.batch_size, shuffle=True,
+                                   drop_last=True, **common),
+        "train_unshuffle_loader": DataLoader(tr_dataset, cfg.batch_size,
+                                             shuffle=False, drop_last=True,
+                                             **common),
+        "test_loader": DataLoader(te_dataset, cfg.batch_size, shuffle=False,
+                                  drop_last=False, **common),
+    }
+
+
 def to_model_batch(batch: Dict[str, np.ndarray], train: bool = True,
                    has_rgb: bool = False,
                    cond_dim: int = 0) -> Dict[str, np.ndarray]:

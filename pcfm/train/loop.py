@@ -107,6 +107,14 @@ def train(cfg: Config, verbose: bool = True) -> dict:
         color_on, drop_p = epoch_scalars(cfg, ep)
         t_ep = time.perf_counter()
         n_steps = 0
+        pbar = None
+        if verbose and rank == 0:
+            try:
+                from tqdm import tqdm
+                pbar = tqdm(total=len(train_loader), desc=f"Ep{ep}",
+                            leave=False)
+            except ImportError:
+                pbar = None
         for batch in train_loader.epoch_batches(ep):
             mb = to_model_batch(batch, train=True, has_rgb=cfg.has_rgb,
                                 cond_dim=cfg.cond_dim)
@@ -119,12 +127,21 @@ def train(cfg: Config, verbose: bool = True) -> dict:
             state, metrics = step_fn(state, mb, sk, color_on, drop_p)
             n_steps += 1
             global_step_seen += 1
+            if pbar is not None:
+                if n_steps % max(1, cfg.log_every) == 0:
+                    # sync sparsely; per-step device syncs would stall
+                    pbar.set_postfix(
+                        lp=float(metrics["loss_point"]),
+                        lz=float(metrics["loss_latent"]))
+                pbar.update(1)
             if profiling and global_step_seen == 1 + cfg.profile_steps:
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready(), metrics)
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"[profile] trace written to {cfg.profile_dir}")
+        if pbar is not None:
+            pbar.close()
         # sync once per epoch for the metric prints
         last_metrics = {k: float(v) for k, v in metrics.items()}
         lp_ema.update(last_metrics["loss_point"])
