@@ -56,6 +56,23 @@ def bench_step(cfg: Config, b: int, n: int, iters: int = 50,
     return (time.perf_counter() - t0) / iters
 
 
+def bench_sampler(cfg: Config, b: int, n: int, iters: int = 5) -> float:
+    """Generation sec/shape at the reference NFE (Heun, 2*steps evals per
+    flow) — BASELINE.md 'sampler sec/shape at fixed NFE'."""
+    from pcfm.train.state import init_state
+    from pcfm.train.evaluate import make_sample_fn
+    bundle, state, _ = init_state(cfg, jax.random.PRNGKey(0), 100)
+    sample_fn = make_sample_fn(bundle)
+    key = jax.random.PRNGKey(1)
+    x = sample_fn(state, None, key, b, n)
+    float(jnp.sum(x))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        x = sample_fn(state, None, jax.random.fold_in(key, i), b, n)
+    float(jnp.sum(x))
+    return (time.perf_counter() - t0) / iters / b
+
+
 def main():
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
@@ -71,6 +88,22 @@ def main():
     print(f"[bench] mlp 20k RGB: {step_time*1e3:.2f} ms/step, "
           f"{pts_per_sec/1e6:.2f}M pts/s, {sec_per_epoch:.2f} s/epoch "
           f"(293 steps)", file=sys.stderr)
+
+    try:
+        samp = bench_sampler(cfg.replace(sample_steps=50, sampler="heun"),
+                             b, n)
+        print(f"[bench] sampler (Heun x50, 100 NFE/flow): "
+              f"{samp*1e3:.1f} ms/shape @ 20k pts", file=sys.stderr)
+    except Exception as e:  # secondary metric; never fail the bench
+        print(f"[bench] sampler bench failed: {e}", file=sys.stderr)
+
+    try:
+        hcfg = cfg.replace(pf_backbone="hybrid")
+        h_time = bench_step(hcfg, b, n, iters=10)
+        print(f"[bench] hybrid 20k RGB: {h_time*1e3:.1f} ms/step "
+              f"({h_time*STEPS_PER_EPOCH:.1f} s/epoch)", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] hybrid bench failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "train_sec_per_epoch_20k_rgb_mlp",

@@ -13,7 +13,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from pcfm.ops.chamfer import chamfer_distance, fscore
-from pcfm.ops.emd import earth_mover_distance
+from pcfm.ops.emd import earth_mover_distance, earth_mover_distance_streamed
+
+
+def _pick_chunk(n: int, m: int, target: int = 2048) -> int:
+    """Largest common divisor chunk of (n, m) not exceeding target."""
+    best = 1
+    for c in range(1, min(target, n, m) + 1):
+        if n % c == 0 and m % c == 0:
+            best = c
+    return best
 
 
 def cloud_metrics(pred: jax.Array, gt: jax.Array,
@@ -34,6 +43,15 @@ def cloud_metrics(pred: jax.Array, gt: jax.Array,
 
     n, m = pxyz.shape[1], gxyz.shape[1]
     if max(n, m) > emd_max_points:
+        # large clouds: the streamed O(N+M)-memory formulation evaluates the
+        # FULL clouds (the reference materializes the match matrix and
+        # cannot); chunk must divide both N and M
+        chunk = _pick_chunk(n, m)
+        if chunk >= 256:
+            emd = earth_mover_distance_streamed(pxyz, gxyz, chunk=chunk)
+            return {"cd": cd, "emd": emd, "fscore": f,
+                    "precision": p1, "recall": p2}
+        # awkward sizes: fall back to random subsampling
         key = jax.random.PRNGKey(0) if key is None else key
         k1, k2 = jax.random.split(key)
         if n > emd_max_points:

@@ -4,7 +4,9 @@ from pcfm.ops.voxel import (avg_voxelize, trilinear_devoxelize,
                             normalize_coords, flatten_voxel_ids)
 from pcfm.ops.chamfer import (chamfer_distance, chamfer_l2, pairwise_sqdist,
                               fscore)
-from pcfm.ops.emd import earth_mover_distance, approxmatch, matchcost
+from pcfm.ops.emd import (earth_mover_distance,
+                          earth_mover_distance_streamed, approxmatch,
+                          matchcost)
 from pcfm.ops.sampling import (furthest_point_sample,
                                furthest_point_sample_indices, gather)
 from pcfm.ops.ball_query import ball_query, grouping
@@ -15,7 +17,8 @@ from pcfm.ops.losses import kl_loss, huber_loss
 __all__ = [
     "avg_voxelize", "trilinear_devoxelize", "normalize_coords",
     "flatten_voxel_ids", "chamfer_distance", "chamfer_l2", "pairwise_sqdist",
-    "fscore", "earth_mover_distance", "approxmatch", "matchcost",
+    "fscore", "earth_mover_distance", "earth_mover_distance_streamed",
+    "approxmatch", "matchcost",
     "furthest_point_sample", "furthest_point_sample_indices", "gather",
     "ball_query", "grouping", "nearest_neighbor_interpolate", "three_nn",
     "three_nn_weights", "kl_loss", "huber_loss",

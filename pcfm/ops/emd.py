@@ -133,3 +133,114 @@ def earth_mover_distance(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
         xyz2 = xyz2[None]
     n = xyz1.shape[1]
     return _emd_cost(xyz1, xyz2) / float(n)
+
+
+# ---------------------------------------------------------------------------
+# Streamed O(N+M)-memory formulation.
+#
+# Key observation about approxmatch: the (M, N) match matrix is a SUM of
+# per-level rank-structured terms
+#     match = sum_lev exp(level * d2) ∘ (ratioL_lev ⊗ ratioR_lev)
+# where the cross-level coupling flows only through the remainL / remainR
+# marginal vectors.  So the algorithm needs only (N,)- and (M,)-vectors of
+# state, with every (N, M) interaction recomputed in tiles — the match
+# matrix never exists.  This scales the evaluation to 20k+ points where the
+# reference CUDA kernel materializes 8 x 20k x 20k fp32 = 12.8 GB
+# (emd_kernel.cu:182) and OOMs.
+# ---------------------------------------------------------------------------
+
+
+def _chunked_exp_matvec(x1, x2, level, vec_m, chunk):
+    """sum_l exp(level*d2[:, l]) * vec_m[l] per row, streaming M-chunks.
+    x1 (N,3), x2 (M,3), vec_m (M,) -> (N,)."""
+    m = x2.shape[0]
+    nchunk = m // chunk
+
+    def body(carry, args):
+        xc, vc = args
+        d2 = (jnp.sum(x1 * x1, -1)[:, None] + jnp.sum(xc * xc, -1)[None, :]
+              - 2.0 * jnp.einsum("nd,md->nm", x1, xc,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST))
+        w = jnp.exp(level * jnp.maximum(d2, 0.0))
+        return carry + w @ vc, None
+
+    x2c = x2.reshape(nchunk, chunk, 3)
+    vmc = vec_m.reshape(nchunk, chunk)
+    out, _ = jax.lax.scan(body, jnp.zeros(x1.shape[0], jnp.float32),
+                          (x2c, vmc))
+    return out
+
+
+def _emd_streamed_one(x1, x2, chunk):
+    """Per-cloud streamed approxmatch cost.  x1 (N,3), x2 (M,3) with N, M
+    multiples of `chunk`.  Returns (cost, rLs (10,N), rRs (10,M))."""
+    n, m = x1.shape[0], x2.shape[0]
+    if n >= m:
+        mult_l, mult_r = 1.0, float(n // m)
+    else:
+        mult_l, mult_r = float(m // n), 1.0
+    levels = jnp.array([-float(4.0 ** j) for j in range(7, -2, -1)] + [0.0],
+                       dtype=jnp.float32)
+
+    def level_step(state, level):
+        remain_l, remain_r = state
+        suml = 1e-9 + _chunked_exp_matvec(x1, x2, level, remain_r, chunk)
+        ratio_l = remain_l / suml
+        sumr = _chunked_exp_matvec(x2, x1, level, ratio_l, chunk) * remain_r
+        consumption = jnp.minimum(remain_r / (sumr + 1e-9), 1.0)
+        ratio_r = consumption * remain_r
+        new_remain_r = jnp.maximum(0.0, remain_r - sumr)
+        # delta row-sums for remainL: sum_l w * ratio_l * ratio_r
+        delta_rows = ratio_l * _chunked_exp_matvec(x1, x2, level, ratio_r,
+                                                   chunk)
+        new_remain_l = jnp.maximum(0.0, remain_l - delta_rows)
+        return (new_remain_l, new_remain_r), (ratio_l, ratio_r)
+
+    init = (jnp.full((n,), mult_l, jnp.float32),
+            jnp.full((m,), mult_r, jnp.float32))
+    _, (rls, rrs) = jax.lax.scan(level_step, init, levels)
+
+    # cost = sum_{k,l} d2 * match = sum_lev sum_{k,l} d2 * w * rL_k * rR_l
+    def cost_chunk(carry, args):
+        xc, rr_c = args                              # (chunk,3), (10,chunk)
+        d2 = (jnp.sum(x1 * x1, -1)[:, None] + jnp.sum(xc * xc, -1)[None, :]
+              - 2.0 * jnp.einsum("nd,md->nm", x1, xc,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST))
+        d2 = jnp.maximum(d2, 0.0)
+        acc = carry
+        for lev in range(10):
+            w = jnp.exp(levels[lev] * d2)
+            acc = acc + jnp.sum((rls[lev][:, None] * w * rr_c[lev][None, :])
+                                * d2)
+        return acc, None
+
+    x2c = x2.reshape(m // chunk, chunk, 3)
+    rrc = jnp.moveaxis(rrs.reshape(10, m // chunk, chunk), 1, 0)
+    cost, _ = jax.lax.scan(cost_chunk, jnp.float32(0.0), (x2c, rrc))
+    return cost
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def earth_mover_distance_streamed(xyz1: jax.Array, xyz2: jax.Array,
+                                  chunk: int = 2048) -> jax.Array:
+    """O(N+M)-memory approxmatch EMD for large clouds (20k+ points).
+
+    Same semantics as ``earth_mover_distance`` up to fp summation order;
+    forward-only (use the dense path for gradients at <= ~4k points).
+    Clouds are zero-padded to a multiple of `chunk`... padding would bias
+    the match, so instead N and M must already be multiples of `chunk`
+    (assert below) — callers subsample to a round size.
+    """
+    if xyz1.ndim == 2:
+        xyz1 = xyz1[None]
+    if xyz2.ndim == 2:
+        xyz2 = xyz2[None]
+    n, m = xyz1.shape[1], xyz2.shape[1]
+    chunk = min(chunk, n, m)
+    assert n % chunk == 0 and m % chunk == 0, \
+        f"streamed EMD needs N, M divisible by chunk={chunk}"
+    f = functools.partial(_emd_streamed_one, chunk=chunk)
+    cost = jax.vmap(f)(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32))
+    return cost / float(n)

@@ -77,3 +77,11 @@ def test_cloud_metrics_emd_subsample():
     y = jax.random.normal(jax.random.PRNGKey(1), (1, 500, 3))
     m = cloud_metrics(x, y, emd_max_points=256, key=key)
     assert np.isfinite(float(m["emd"][0]))
+
+
+def test_cloud_metrics_streamed_emd_large():
+    # > emd_max_points with divisible sizes -> streamed full-cloud EMD
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 1536, 3))
+    m_small = cloud_metrics(x, x, emd_max_points=512)
+    assert float(m_small["emd"][0]) < 1e-3

@@ -226,3 +226,15 @@ def test_huber_loss():
 def test_kl_loss_zero_when_equal(rng):
     x = jnp.asarray(rng.randn(4, 10).astype(np.float32))
     assert abs(float(ops.kl_loss(x, x))) < 1e-6
+
+
+def test_emd_streamed_matches_dense(rng):
+    from pcfm.ops.emd import earth_mover_distance_streamed
+    a = rng.randn(2, 128, 3).astype(np.float32)
+    b = rng.randn(2, 64, 3).astype(np.float32)
+    dense = np.asarray(ops.earth_mover_distance(jnp.asarray(a),
+                                                jnp.asarray(b)))
+    stream = np.asarray(earth_mover_distance_streamed(jnp.asarray(a),
+                                                      jnp.asarray(b),
+                                                      chunk=32))
+    np.testing.assert_allclose(stream, dense, rtol=1e-4, atol=1e-5)
