@@ -136,11 +136,16 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
 
 
 def main(argv: Optional[Sequence[str]] = None):
+    from pcfm.parallel import cleanup_distributed, init_distributed
     from pcfm.train.loop import train
+    init_distributed()
     cfg = parse_config(argv)
     if cfg.dataset_type != "synthetic" and not cfg.data_dir:
         raise SystemExit("--data_dir is required for H5 datasets")
-    return train(cfg)
+    try:
+        return train(cfg)
+    finally:
+        cleanup_distributed()
 
 
 if __name__ == "__main__":
