@@ -238,3 +238,59 @@ def test_emd_streamed_matches_dense(rng):
                                                       jnp.asarray(b),
                                                       chunk=32))
     np.testing.assert_allclose(stream, dense, rtol=1e-4, atol=1e-5)
+
+
+# ---------------- hand-checked goldens (SURVEY §4 (b)) ----------------
+
+def test_avg_voxelize_golden():
+    # two points into the same voxel, one into another -> mean vs copy
+    feats = jnp.asarray([[[1.0, 2.0], [3.0, 4.0], [10.0, 20.0]]])
+    coords = jnp.asarray([[[0, 0, 0], [0, 0, 0], [1, 1, 1]]], dtype=jnp.int32)
+    grid = np.asarray(ops.avg_voxelize(feats, coords, 2))
+    np.testing.assert_allclose(grid[0, 0, 0, 0], [2.0, 3.0])
+    np.testing.assert_allclose(grid[0, 1, 1, 1], [10.0, 20.0])
+    np.testing.assert_allclose(grid[0, 0, 1, 0], [0.0, 0.0])
+
+
+def test_trilinear_devoxelize_golden():
+    # 1D-style interpolation along x between two known voxels
+    grid = np.zeros((1, 2, 2, 2, 1), np.float32)
+    grid[0, 0, 0, 0, 0] = 1.0
+    grid[0, 1, 0, 0, 0] = 3.0
+    coords = jnp.asarray([[[0.25, 0.0, 0.0]]])
+    out = float(np.asarray(ops.trilinear_devoxelize(jnp.asarray(grid),
+                                                    coords, 2))[0, 0, 0])
+    assert abs(out - 1.5) < 1e-6
+
+
+def test_ball_query_golden_backfill():
+    # center at origin; hits at indices 1 and 3; slot 2.. back-filled with 1
+    centers = jnp.asarray([[[0.0, 0.0, 0.0]]])
+    points = jnp.asarray([[[5, 0, 0], [0.1, 0, 0], [6, 0, 0],
+                           [0, 0.1, 0], [7, 0, 0]]], dtype=jnp.float32)
+    idx = np.asarray(ops.ball_query(centers, points, radius=1.0,
+                                    num_neighbors=4))
+    np.testing.assert_array_equal(idx[0, 0], [1, 3, 1, 1])
+
+
+def test_fps_golden_line():
+    # colinear points 0,1,2,3 -> picks 0, then 3, then 1 (d=1.0 vs 2@d=1)
+    pts = jnp.asarray([[[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0],
+                        [3.0, 0, 0]]])
+    idx = np.asarray(ops.furthest_point_sample_indices(pts, 3))
+    np.testing.assert_array_equal(idx[0], [0, 3, 1])
+
+
+def test_three_nn_golden():
+    # point at origin; centers at distances 1, 2, 3, 4 -> weights from
+    # inverse-squared distances of the 3 nearest
+    points = jnp.asarray([[[0.0, 0, 0]]])
+    centers = jnp.asarray([[[1.0, 0, 0], [2.0, 0, 0], [3.0, 0, 0],
+                            [4.0, 0, 0]]])
+    d2, idx = ops.three_nn(points, centers)
+    np.testing.assert_array_equal(np.asarray(idx)[0, 0], [0, 1, 2])
+    d0, d1_, d2_ = 1.0, 4.0, 9.0
+    s = d0 * d1_ + d0 * d2_ + d1_ * d2_
+    w = np.asarray(ops.three_nn_weights(d2))[0, 0]
+    np.testing.assert_allclose(w, [d1_ * d2_ / s, d0 * d2_ / s,
+                                   d0 * d1_ / s], rtol=1e-5)
