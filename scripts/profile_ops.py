@@ -17,6 +17,10 @@ import jax
 import jax.numpy as jnp
 
 BUDGET = float(os.environ.get("PROFILE_BUDGET_S", 420))
+# claim the device BEFORE starting the budget clock — the axon tunnel can
+# queue a claim for minutes
+float(jnp.sum(jnp.ones((8, 8))))
+print("[profile] device claimed", flush=True)
 T0 = time.perf_counter()
 RESULTS = {}
 
