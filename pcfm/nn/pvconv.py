@@ -19,11 +19,22 @@ from flax import linen as nn
 
 from pcfm.nn.se import SE3d
 from pcfm.nn.shared_mlp import SharedMLP
-from pcfm.ops.voxel import avg_voxelize, normalize_coords, trilinear_devoxelize
+from pcfm.ops.voxel import (DENSE_R3_MAX, avg_voxelize, avg_voxelize_dense,
+                            normalize_coords, trilinear_devoxelize,
+                            trilinear_devoxelize_dense)
+
+
+def _use_dense(resolution: int) -> bool:
+    return resolution ** 3 <= DENSE_R3_MAX
 
 
 class Voxelization(nn.Module):
-    """Parameterless voxelizer (reference modules/voxelization.py:9-28)."""
+    """Parameterless voxelizer (reference modules/voxelization.py:9-28).
+
+    Execution strategy is picked by grid size: small grids use the dense
+    MXU one-hot-matmul scatter (numerically equal, ~10x faster on TPU),
+    large grids the deterministic segment-sum.
+    """
     resolution: int
     normalize: bool = True
     eps: float = 0.0
@@ -31,7 +42,9 @@ class Voxelization(nn.Module):
     def __call__(self, features, coords):
         norm_coords, vox_coords = normalize_coords(
             coords, self.resolution, normalize=self.normalize, eps=self.eps)
-        grid = avg_voxelize(features, vox_coords, self.resolution)
+        vox = avg_voxelize_dense if _use_dense(self.resolution) \
+            else avg_voxelize
+        grid = vox(features, vox_coords, self.resolution)
         return grid, norm_coords
 
 
@@ -64,7 +77,9 @@ class PVConv(nn.Module):
         if self.with_se:
             grid = SE3d(self.out_channels, dtype=self.dtype, name="se")(grid)
 
-        voxel_features = trilinear_devoxelize(grid, norm_coords, r)
+        devox = trilinear_devoxelize_dense if _use_dense(r) \
+            else trilinear_devoxelize
+        voxel_features = devox(grid, norm_coords, r)
         point_features = SharedMLP(self.out_channels, dtype=self.dtype,
                                    name="point_features")(features,
                                                           train=train)

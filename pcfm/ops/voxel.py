@@ -138,6 +138,82 @@ def trilinear_devoxelize(grid: jax.Array, norm_coords: jax.Array,
     return out
 
 
+def _corner_ids_weights(norm_coords: jax.Array, r: int):
+    """(B,N,3) float coords -> (ids8 (B,N,8) int32, w8 (B,N,8) f32) with the
+    reference's frac==0 boundary collapse."""
+    coords = jax.lax.stop_gradient(norm_coords.astype(jnp.float32))
+    lo_f = jnp.floor(coords)
+    frac = coords - lo_f
+    lo = lo_f.astype(jnp.int32)
+    hi = lo + (frac > 0).astype(jnp.int32)
+    ids = []
+    ws = []
+    for sx in (0, 1):
+        for sy in (0, 1):
+            for sz in (0, 1):
+                x = hi[..., 0] if sx else lo[..., 0]
+                y = hi[..., 1] if sy else lo[..., 1]
+                z = hi[..., 2] if sz else lo[..., 2]
+                ids.append((x * r + y) * r + z)
+                wx = frac[..., 0] if sx else 1.0 - frac[..., 0]
+                wy = frac[..., 1] if sy else 1.0 - frac[..., 1]
+                wz = frac[..., 2] if sz else 1.0 - frac[..., 2]
+                ws.append(wx * wy * wz)
+    return jnp.stack(ids, axis=-1), jnp.stack(ws, axis=-1)
+
+
+# Threshold under which the dense one-hot-matmul formulation is used by the
+# model path: the (B, N, R^3) weight matrix fits comfortably and both
+# scatter and gather become MXU matmuls (measured ~5-10x faster than the
+# XLA scatter/gather at R<=16 on v5e).
+DENSE_R3_MAX = 4096
+
+
+def avg_voxelize_dense(features: jax.Array, vox_coords: jax.Array,
+                       resolution: int,
+                       precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """MXU formulation of avg_voxelize for small grids (R^3 <= ~4096).
+
+    The one-hot scatter matrix is built with a broadcast compare (VPU) and
+    the accumulation is a single batched matmul.  Counts accumulate in f32
+    (each one-hot term is exact), so the mean is exact; the feature matmul
+    runs at HIGHEST precision (fp32-accurate on the MXU) by default.
+    """
+    b, n, c = features.shape
+    r = resolution
+    r3 = r * r * r
+    flat = flatten_voxel_ids(vox_coords, r)                         # (B,N)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, r3), 2)
+    oh = (flat[..., None] == iota).astype(jnp.float32)              # (B,N,R3)
+    sums = jnp.einsum("bnv,bnc->bvc", oh, features.astype(jnp.float32),
+                      preferred_element_type=jnp.float32,
+                      precision=precision)
+    cnt = jnp.sum(oh, axis=1)                                       # (B,R3)
+    grid = sums / jnp.maximum(cnt[..., None], 1.0)
+    return grid.reshape(b, r, r, r, c)
+
+
+def trilinear_devoxelize_dense(grid: jax.Array, norm_coords: jax.Array,
+                               resolution: int,
+                               precision=jax.lax.Precision.HIGHEST
+                               ) -> jax.Array:
+    """MXU formulation of trilinear_devoxelize for small grids: the sparse
+    (8-per-row) interpolation matrix is densified via 8 broadcast compares
+    and applied as one batched matmul; backward wrt the grid is the
+    transposed matmul (autodiff), with no scatter anywhere."""
+    b, r, _, _, c = grid.shape
+    assert r == resolution
+    r3 = r * r * r
+    ids8, w8 = _corner_ids_weights(norm_coords, r)                  # (B,N,8)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, r3), 3)
+    w = jnp.sum((ids8[..., None] == iota) * w8[..., None],
+                axis=2)                                             # (B,N,R3)
+    flat = grid.reshape(b, r3, c)
+    return jnp.einsum("bnv,bvc->bnc", w, flat,
+                      preferred_element_type=jnp.float32,
+                      precision=precision)
+
+
 def trilinear_devoxelize_windowed(grid: jax.Array, norm_coords: jax.Array,
                                   resolution: int) -> jax.Array:
     """Windowed-gather formulation of ``trilinear_devoxelize``.
