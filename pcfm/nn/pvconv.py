@@ -14,6 +14,7 @@ reference (``coords.detach()``).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -42,9 +43,13 @@ class Voxelization(nn.Module):
     def __call__(self, features, coords):
         norm_coords, vox_coords = normalize_coords(
             coords, self.resolution, normalize=self.normalize, eps=self.eps)
-        vox = avg_voxelize_dense if _use_dense(self.resolution) \
-            else avg_voxelize
-        grid = vox(features, vox_coords, self.resolution)
+        if _use_dense(self.resolution):
+            # model path: DEFAULT precision (bf16 multiplies, f32 accum) —
+            # counts stay exact; ~2x faster than HIGHEST on the MXU
+            grid = avg_voxelize_dense(features, vox_coords, self.resolution,
+                                      precision=jax.lax.Precision.DEFAULT)
+        else:
+            grid = avg_voxelize(features, vox_coords, self.resolution)
         return grid, norm_coords
 
 
@@ -77,9 +82,11 @@ class PVConv(nn.Module):
         if self.with_se:
             grid = SE3d(self.out_channels, dtype=self.dtype, name="se")(grid)
 
-        devox = trilinear_devoxelize_dense if _use_dense(r) \
-            else trilinear_devoxelize
-        voxel_features = devox(grid, norm_coords, r)
+        if _use_dense(r):
+            voxel_features = trilinear_devoxelize_dense(
+                grid, norm_coords, r, precision=jax.lax.Precision.DEFAULT)
+        else:
+            voxel_features = trilinear_devoxelize(grid, norm_coords, r)
         point_features = SharedMLP(self.out_channels, dtype=self.dtype,
                                    name="point_features")(features,
                                                           train=train)
