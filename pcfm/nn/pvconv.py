@@ -47,7 +47,8 @@ class Voxelization(nn.Module):
             # model path: DEFAULT precision (bf16 multiplies, f32 accum) —
             # counts stay exact; ~2x faster than HIGHEST on the MXU
             grid = avg_voxelize_dense(features, vox_coords, self.resolution,
-                                      precision=jax.lax.Precision.DEFAULT)
+                                      precision=jax.lax.Precision.DEFAULT,
+                                      oh_dtype=jnp.bfloat16)
         else:
             grid = avg_voxelize(features, vox_coords, self.resolution)
         return grid, norm_coords
@@ -84,7 +85,8 @@ class PVConv(nn.Module):
 
         if _use_dense(r):
             voxel_features = trilinear_devoxelize_dense(
-                grid, norm_coords, r, precision=jax.lax.Precision.DEFAULT)
+                grid, norm_coords, r, precision=jax.lax.Precision.DEFAULT,
+                w_dtype=jnp.bfloat16)
         else:
             voxel_features = trilinear_devoxelize(grid, norm_coords, r)
         point_features = SharedMLP(self.out_channels, dtype=self.dtype,

@@ -171,7 +171,8 @@ DENSE_R3_MAX = 4096
 
 def avg_voxelize_dense(features: jax.Array, vox_coords: jax.Array,
                        resolution: int,
-                       precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+                       precision=jax.lax.Precision.HIGHEST,
+                       oh_dtype=jnp.float32) -> jax.Array:
     """MXU formulation of avg_voxelize for small grids (R^3 <= ~4096).
 
     The one-hot scatter matrix is built with a broadcast compare (VPU) and
@@ -184,19 +185,21 @@ def avg_voxelize_dense(features: jax.Array, vox_coords: jax.Array,
     r3 = r * r * r
     flat = flatten_voxel_ids(vox_coords, r)                         # (B,N)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, r3), 2)
-    oh = (flat[..., None] == iota).astype(jnp.float32)              # (B,N,R3)
+    # one-hot entries (0/1) are exact in bf16, so oh_dtype=bfloat16 halves
+    # the materialization traffic without changing counts (f32 accumulate)
+    oh = (flat[..., None] == iota).astype(oh_dtype)                 # (B,N,R3)
     sums = jnp.einsum("bnv,bnc->bvc", oh, features.astype(jnp.float32),
                       preferred_element_type=jnp.float32,
                       precision=precision)
-    cnt = jnp.sum(oh, axis=1)                                       # (B,R3)
+    cnt = jnp.einsum("bnv->bv", oh.astype(jnp.float32))             # (B,R3)
     grid = sums / jnp.maximum(cnt[..., None], 1.0)
     return grid.reshape(b, r, r, r, c)
 
 
 def trilinear_devoxelize_dense(grid: jax.Array, norm_coords: jax.Array,
                                resolution: int,
-                               precision=jax.lax.Precision.HIGHEST
-                               ) -> jax.Array:
+                               precision=jax.lax.Precision.HIGHEST,
+                               w_dtype=jnp.float32) -> jax.Array:
     """MXU formulation of trilinear_devoxelize for small grids: the sparse
     (8-per-row) interpolation matrix is densified via 8 broadcast compares
     and applied as one batched matmul; backward wrt the grid is the
@@ -206,8 +209,8 @@ def trilinear_devoxelize_dense(grid: jax.Array, norm_coords: jax.Array,
     r3 = r * r * r
     ids8, w8 = _corner_ids_weights(norm_coords, r)                  # (B,N,8)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, r3), 3)
-    w = jnp.sum((ids8[..., None] == iota) * w8[..., None],
-                axis=2)                                             # (B,N,R3)
+    w = jnp.sum((ids8[..., None] == iota) * w8[..., None].astype(w_dtype),
+                axis=2).astype(w_dtype)                             # (B,N,R3)
     flat = grid.reshape(b, r3, c)
     return jnp.einsum("bnv,bvc->bnc", w, flat,
                       preferred_element_type=jnp.float32,
