@@ -73,7 +73,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
     """Place a host batch dict onto the mesh with the right shardings."""
     if mesh is None:
-        return batch
+        return jax.device_put(batch)
     out = {}
     for k, v in batch.items():
         if hasattr(v, "ndim") and v.ndim >= 3:

@@ -30,6 +30,23 @@ from pcfm.train.step import make_train_step
 from pcfm.utils import MetricEMA, Timer, seed_all
 
 
+def device_prefetch(batches, mesh, cfg, depth: int = 2):
+    """Start H2D transfers `depth` batches ahead so they overlap compute
+    (jax.device_put is async) — the analogue of pin_memory+non_blocking.
+    On tunneled dev TPUs the H2D link can be slower than the step itself;
+    on real hardware this hides the copy entirely."""
+    from collections import deque
+    buf = deque()
+    for batch in batches:
+        mb = to_model_batch(batch, train=True, has_rgb=cfg.has_rgb,
+                            cond_dim=cfg.cond_dim)
+        buf.append(shard_batch(mb, mesh))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def epoch_scalars(cfg: Config, ep: int):
     """Geometry-warmup + CFG-dropout-warmup schedules (train.py:546,615)."""
     use_rgb = (ep > cfg.geom_warmup_epochs) and cfg.pointflow_rgb \
@@ -115,10 +132,7 @@ def train(cfg: Config, verbose: bool = True) -> dict:
                             leave=False)
             except ImportError:
                 pbar = None
-        for batch in train_loader.epoch_batches(ep):
-            mb = to_model_batch(batch, train=True, has_rgb=cfg.has_rgb,
-                                cond_dim=cfg.cond_dim)
-            mb = shard_batch(mb, mesh)
+        for mb in device_prefetch(train_loader.epoch_batches(ep), mesh, cfg):
             rng, sk = jax.random.split(rng)
             if profiling and global_step_seen == 1:
                 # skip step 0 (compile); trace a few steady-state steps
