@@ -24,9 +24,8 @@ import numpy as np
 
 from pcfm.data.ply import save_point_cloud_ply_rgb
 from pcfm.datagen.core import (MeshPiece, build_per_joint_grids,
-                               choose_anno_id, include_row_by_cats,
-                               parse_steps_override, random_combinations,
-                               read_index_csv, row_get_category,
+                               choose_anno_id, parse_steps_override,
+                               random_combinations, row_get_category,
                                sample_model_points_colored)
 
 

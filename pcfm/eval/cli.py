@@ -13,8 +13,6 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from pcfm.data import DataLoader, get_datasets
 from pcfm.eval.metrics import aggregate, cloud_metrics
 from pcfm.sample.cli import load_run

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 from flax import linen as nn
-from jax.nn.initializers import variance_scaling, normal, zeros
+from jax.nn.initializers import normal, variance_scaling
 
 # torch kaiming_normal_(nonlinearity="relu", mode="fan_in") == untruncated
 # normal with std sqrt(2/fan_in)

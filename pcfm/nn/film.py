@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pcfm.nn.common import kaiming_normal, make_norm
+from pcfm.nn.common import make_norm
 
 
 class FiLMBlock(nn.Module):

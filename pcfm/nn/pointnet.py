@@ -6,7 +6,7 @@ FPModule), channel-last.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Sequence, Union
 
 import jax.numpy as jnp
 from flax import linen as nn

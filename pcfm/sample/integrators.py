@@ -17,7 +17,6 @@ heun (the reference default, NFE = 2*steps), rk4 (NFE = 4*steps).
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

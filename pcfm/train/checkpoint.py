@@ -15,7 +15,6 @@ import re
 from typing import Optional, Tuple
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from pcfm.config import Config

@@ -7,14 +7,13 @@ of the live params — no copying/restoring.
 """
 from __future__ import annotations
 
-import math
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable
 
 import flax
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 
 from pcfm.config import Config
 from pcfm.models import (CondAdversary, ConditionalLatentVelocityNet,

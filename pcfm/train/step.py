@@ -16,12 +16,11 @@ boundaries).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
-from pcfm.config import Config
 from pcfm.models.adversary import grad_reverse
 from pcfm.train.state import ModelBundle, TrainState, ema_update
 

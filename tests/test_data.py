@@ -1,7 +1,6 @@
 """Data-layer tests: H5 shard schema, cond-dim policy, loaders, PLY IO,
 condition encoders, packer."""
 import json
-import os
 
 import numpy as np
 import pytest

@@ -1,7 +1,6 @@
 """Pallas kernel tests (interpret mode on CPU; compiled on TPU in bench)."""
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from pcfm.ops.pallas import chamfer_distance_pallas
 from tests import oracles

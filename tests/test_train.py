@@ -5,7 +5,6 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from pcfm.config import Config
 from pcfm.sample import (euler_sample, heun_sample, make_guided,
