@@ -159,9 +159,19 @@ def train(cfg: Config, verbose: bool = True) -> dict:
         last_metrics = {k: float(v) for k, v in metrics.items()}
         lp_ema.update(last_metrics["loss_point"])
         lz_ema.update(last_metrics["loss_latent"])
+        dt = time.perf_counter() - t_ep
+        pps = cfg.batch_size * cfg.tr_max_sample_points * n_steps / dt
+        if rank == 0:
+            # per-epoch metrics log (observability; the reference only has
+            # tqdm postfix prints)
+            import json
+            with open(os.path.join(cfg.out_dir, "metrics.jsonl"), "a") as f:
+                json.dump({"epoch": ep, "sec": round(dt, 3),
+                           "points_per_sec": round(pps, 1),
+                           **{k: round(v, 6)
+                              for k, v in last_metrics.items()}}, f)
+                f.write("\n")
         if verbose and rank == 0:
-            dt = time.perf_counter() - t_ep
-            pps = cfg.batch_size * cfg.tr_max_sample_points * n_steps / dt
             print(f"Ep{ep}: lp={last_metrics['loss_point']:.4f} "
                   f"lz={last_metrics['loss_latent']:.4f} "
                   f"({dt:.1f}s, {pps/1e6:.2f}M pts/s)")
