@@ -186,3 +186,41 @@ def test_pack_h5_roundtrip(tmp_path):
     assert item["train_points"].shape == (64, 3)
     # data_norm is within [-1, 1]
     assert np.abs(item["train_points"]).max() <= 1.0 + 1e-5
+
+
+def test_keep_anno_filter(shard_dir):
+    # keep only two specific anno ids in the train split
+    keep = {"train-0-0", "train-1-1"}
+    ds = PartNetH5Dataset(shard_dir, split="train", keep_annos=keep)
+    assert len(ds) == 2
+    ids = {ds.get(i, np.random.RandomState(0))["anno_id"]
+           for i in range(len(ds))}
+    assert ids == keep
+
+
+def test_keep_anno_file_via_factory(shard_dir, tmp_path):
+    f = tmp_path / "keep.txt"
+    f.write_text("train-0-0\ntrain-0-1\n")
+    cfg = Config(dataset_type="partnet_h5", data_dir=shard_dir,
+                 keep_anno_file=str(f), keep_anno_splits=["train"])
+    tr, te = get_datasets(cfg)
+    assert len(tr) == 2
+    assert len(te) == 8  # test split unfiltered
+
+
+def test_tdcr_raw9_three_segment(tmp_path):
+    import h5py
+    d = tmp_path / "tdcr9" / "train"
+    d.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    with h5py.File(d / "shard-000.h5", "w") as f:
+        f.create_dataset("data_norm",
+                         data=rng.randn(3, 64, 3).astype(np.float32))
+        f.create_dataset("motors",
+                         data=rng.rand(3, 9).astype(np.float32) * 0.4)
+    ds = TDCRH5Dataset(str(tmp_path / "tdcr9"), split="train",
+                       tr_sample_size=16, te_sample_size=16,
+                       motor_enc="raw9+geom3")
+    assert ds.cond_dim == 25
+    item = ds.get(0, np.random.RandomState(0))
+    assert item["cond"].shape == (25,)

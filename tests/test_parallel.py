@@ -88,3 +88,16 @@ def test_sharded_sampling():
     x = sample_fn(state, cond, jax.random.PRNGKey(2), 8, 64)
     assert x.shape == (8, 64, 6)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_forward():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (2, 64, 6)
+    assert np.isfinite(np.asarray(out)).all()

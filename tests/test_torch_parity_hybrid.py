@@ -75,3 +75,43 @@ def test_context_net_forward_parity():
                                  jnp.asarray(x), jnp.asarray(t),
                                  jnp.asarray(cond), train=False))
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_hybrid_mlp_full_forward_parity():
+    torch.manual_seed(2)
+    cond_dim, pd, depth = 5, 6, 3
+    ctx_kw = dict(emb_dim=16, ctx_dim=8, stage_channels=(16,),
+                  stage_blocks=(1,), stage_res=(4,), with_se=True,
+                  gn_groups=4, with_global=True, t_gate_k=10.0,
+                  t_gate_tau=0.8)
+    head_kw = dict(ctx_dim=8, width=32, depth=depth, emb_dim=16)
+    net_t = tmh.HybridMLPT(cond_dim, pd, ctx_kw, head_kw).eval()
+    params, stats = tmh.hybrid_params(net_t, depth)
+    net_j = models.HybridMLP(
+        cond_dim=cond_dim, point_dim=pd, ctx_dim=8, ctx_emb_dim=16,
+        stage_channels=(16,), stage_blocks=(1,), stage_res=(4,),
+        with_se=True, norm_type="group", gn_groups=4, with_global=True,
+        voxel_normalize=True, use_t_gate=True, t_gate_k=10.0,
+        t_gate_tau=0.8, pf_width=32, pf_depth=depth, pf_emb_dim=16)
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 30, pd).astype(np.float32)
+    t = rng.rand(2).astype(np.float32)
+    cond = rng.randn(2, cond_dim).astype(np.float32)
+    with torch.no_grad():
+        want = net_t(torch.from_numpy(x), torch.from_numpy(t),
+                     torch.from_numpy(cond)).numpy()
+    got = np.asarray(net_j.apply({"params": params, "batch_stats": stats},
+                                 jnp.asarray(x), jnp.asarray(t),
+                                 jnp.asarray(cond), train=False))
+    np.testing.assert_allclose(got, want, atol=ATOL)
+    # CFG drop-mask parity through the full hybrid
+    mask = np.array([[1.0], [0.0]], np.float32)
+    with torch.no_grad():
+        want_m = net_t(torch.from_numpy(x), torch.from_numpy(t),
+                       torch.from_numpy(cond),
+                       cond_drop_mask=torch.from_numpy(mask)).numpy()
+    got_m = np.asarray(net_j.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x),
+        jnp.asarray(t), jnp.asarray(cond),
+        cond_drop_mask=jnp.asarray(mask), train=False))
+    np.testing.assert_allclose(got_m, want_m, atol=ATOL)

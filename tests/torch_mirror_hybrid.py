@@ -285,3 +285,80 @@ def context_net_params(m: ContextNetT):
         params[f"stage_{si}"] = sp
         stats[f"stage_{si}"] = ss
     return params, stats
+
+
+class VelocityNetWithContextT(nn.Module):
+    """Mirror of reference VelocityNetWithContext (models.py:546-601)."""
+
+    def __init__(self, cond_dim, point_dim, ctx_dim, width, depth, emb_dim):
+        super().__init__()
+        self.cond_dim, self.point_dim, self.emb_dim = cond_dim, point_dim, \
+            emb_dim
+        self.t_proj = nn.Linear(emb_dim, emb_dim)
+        self.c_proj = nn.Linear(cond_dim if cond_dim > 0 else 1, emb_dim)
+        self.input = nn.Linear(point_dim + ctx_dim + emb_dim, width)
+        self.blocks = nn.ModuleList(
+            [nn.Sequential(nn.SiLU(), nn.Linear(width, width))
+             for _ in range(depth - 1)])
+        from tests.torch_mirror import FiLMBlockT
+        self.films = nn.ModuleList(
+            [FiLMBlockT(width, emb_dim) for _ in range(depth - 1)])
+        self.out = nn.Sequential(nn.SiLU(), nn.Linear(width, point_dim))
+
+    def forward(self, x, t, cond, ctx, cond_drop_mask=None):
+        b, n, _ = x.shape
+        t_emb = F.silu(self.t_proj(timestep_embedding_t(t, self.emb_dim)))
+        if self.cond_dim > 0 and cond is not None:
+            if cond_drop_mask is not None:
+                cond = cond * (1.0 - cond_drop_mask)
+            c_in = cond
+        else:
+            c_in = x.new_zeros((b, 1))
+        emb = t_emb + F.silu(self.c_proj(c_in))
+        emb_bn = emb[:, None, :].expand(b, n, -1).reshape(b * n, -1)
+        h = torch.cat([x, ctx, emb[:, None, :].expand(b, n, -1)],
+                      dim=-1).reshape(b * n, -1)
+        h = self.input(h)
+        for blk, fim in zip(self.blocks, self.films):
+            h = fim(h, emb_bn)
+            h = h + blk(h)
+        return self.out(h).reshape(b, n, self.point_dim)
+
+
+class HybridMLPT(nn.Module):
+    """Mirror of reference HybridMLP (models.py:604-694)."""
+
+    def __init__(self, cond_dim, point_dim, ctx_kw, head_kw):
+        super().__init__()
+        self.cond_dim = cond_dim
+        self.ctx_net = ContextNetT(in_point_dim=point_dim,
+                                   cond_dim=cond_dim, **ctx_kw)
+        self.head = VelocityNetWithContextT(cond_dim=cond_dim,
+                                            point_dim=point_dim, **head_kw)
+
+    def forward(self, x, t, cond, cond_drop_mask=None):
+        cond_eff = cond
+        if cond is not None and cond_drop_mask is not None:
+            cond_eff = cond * (1.0 - cond_drop_mask)
+        ctx = self.ctx_net(x, t, cond_eff if self.cond_dim > 0 else None)
+        return self.head(x, t, cond, ctx, cond_drop_mask=cond_drop_mask)
+
+
+def velocity_ctx_params(m: VelocityNetWithContextT, depth: int):
+    from tests.torch_mirror import lin as _lin
+    p = {"t_proj": _lin(m.t_proj), "c_proj": _lin(m.c_proj),
+         "input": _lin(m.input), "out": _lin(m.out[1])}
+    for i in range(depth - 1):
+        p[f"block_{i}"] = _lin(m.blocks[i][1])
+        p[f"film_{i}"] = {
+            "norm": {"scale": m.films[i].norm.weight.detach().numpy(),
+                     "bias": m.films[i].norm.bias.detach().numpy()},
+            "affine": _lin(m.films[i].affine)}
+    return p
+
+
+def hybrid_params(m: HybridMLPT, head_depth: int):
+    ctx_p, ctx_s = context_net_params(m.ctx_net)
+    return ({"ctx_net": ctx_p,
+             "head": velocity_ctx_params(m.head, head_depth)},
+            {"ctx_net": ctx_s})
