@@ -294,3 +294,60 @@ def test_three_nn_golden():
     w = np.asarray(ops.three_nn_weights(d2))[0, 0]
     np.testing.assert_allclose(w, [d1_ * d2_ / s, d0 * d2_ / s,
                                    d0 * d1_ / s], rtol=1e-5)
+
+
+# ---------------- edge cases / degenerate inputs ----------------
+
+def test_chamfer_odd_sizes_and_single_point(rng):
+    # sizes far from chunk multiples, including N=1
+    a = rng.randn(1, 1, 3).astype(np.float32)
+    b = rng.randn(1, 7, 3).astype(np.float32)
+    d1, d2, i1, i2 = ops.chamfer_distance(jnp.asarray(a), jnp.asarray(b),
+                                          chunk=4)
+    w1, w2, j1, j2 = oracles.chamfer_np(a, b)
+    np.testing.assert_allclose(np.asarray(d1), w1, rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i2), j2)
+
+
+def test_chamfer_identical_points_degenerate():
+    # all points identical: distances 0, idx 0 (first minimum)
+    x = jnp.ones((1, 16, 3))
+    d1, d2, i1, i2 = ops.chamfer_distance(x, x)
+    assert float(jnp.max(d1)) == 0.0
+    np.testing.assert_array_equal(np.asarray(i1), 0)
+
+
+def test_voxelize_all_points_one_voxel():
+    feats = jnp.ones((1, 50, 4))
+    coords = jnp.zeros((1, 50, 3), jnp.int32)
+    grid = ops.avg_voxelize(feats, coords, 4)
+    np.testing.assert_allclose(np.asarray(grid)[0, 0, 0, 0], 1.0)
+    assert float(jnp.sum(jnp.abs(grid))) == 4.0  # only one occupied voxel
+
+
+def test_normalize_coords_degenerate_cloud():
+    # identical points: centered = 0, denom = eps -> all coords mid-grid
+    pts = jnp.ones((1, 10, 3))
+    normc, voxc = ops.normalize_coords(pts, 8, eps=1e-6)
+    assert np.isfinite(np.asarray(normc)).all()
+    np.testing.assert_array_equal(np.asarray(voxc), 4)  # round(0.5*8)
+
+
+def test_ball_query_no_hits():
+    centers = jnp.zeros((1, 2, 3))
+    points = jnp.ones((1, 5, 3)) * 100.0
+    idx = ops.ball_query(centers, points, radius=0.1, num_neighbors=3)
+    np.testing.assert_array_equal(np.asarray(idx), 0)
+
+
+def test_fps_more_samples_than_points(rng):
+    pts = jnp.asarray(rng.randn(1, 4, 3).astype(np.float32))
+    idx = ops.furthest_point_sample_indices(pts, 4)
+    assert sorted(np.asarray(idx)[0].tolist()) == [0, 1, 2, 3]
+
+
+def test_emd_single_point():
+    a = jnp.asarray([[[1.0, 0, 0]]])
+    b = jnp.asarray([[[0.0, 0, 0]]])
+    d = float(ops.earth_mover_distance(a, b)[0])
+    assert abs(d - 1.0) < 1e-3  # d^2 = 1, match = 1, /N = 1

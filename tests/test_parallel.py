@@ -7,6 +7,7 @@ import pytest
 
 from pcfm.config import Config
 from pcfm.parallel import make_mesh, replicate_state, shard_batch
+from pcfm.parallel.mesh import batch_sharding
 from pcfm.train.state import init_state
 from pcfm.train.step import make_train_step
 
@@ -101,3 +102,29 @@ def test_graft_entry_forward():
     out = jax.jit(fn)(*args)
     assert out.shape == (2, 64, 6)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sp_voxelize_matches_global():
+    from pcfm.ops.voxel import avg_voxelize, normalize_coords
+    from pcfm.parallel.sp_ops import make_sp_voxelize
+    mesh = make_mesh(2, 4)
+    key = jax.random.PRNGKey(0)
+    feats = jax.random.normal(key, (4, 64, 6))
+    pts = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 3))
+    _, voxc = normalize_coords(pts, 4)
+    want = np.asarray(avg_voxelize(feats, voxc, 4))
+    fn = make_sp_voxelize(mesh, 4)
+    got = np.asarray(fn(jax.device_put(feats, batch_sharding(mesh)),
+                        jax.device_put(voxc, batch_sharding(mesh))))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sp_global_max_matches_global():
+    from pcfm.parallel.sp_ops import make_sp_global_max
+    mesh = make_mesh(2, 4)
+    key = jax.random.PRNGKey(0)
+    h = jax.random.normal(key, (4, 64, 16))
+    fn = make_sp_global_max(mesh)
+    got = np.asarray(fn(jax.device_put(h, batch_sharding(mesh))))
+    np.testing.assert_allclose(got, np.asarray(jnp.max(h, axis=1)),
+                               atol=1e-6)
