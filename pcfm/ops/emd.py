@@ -174,7 +174,7 @@ def _chunked_exp_matvec(x1, x2, level, vec_m, chunk):
 
 def _emd_streamed_one(x1, x2, chunk):
     """Per-cloud streamed approxmatch cost.  x1 (N,3), x2 (M,3) with N, M
-    multiples of `chunk`.  Returns (cost, rLs (10,N), rRs (10,M))."""
+    multiples of `chunk`.  Returns cost (scalar)."""
     n, m = x1.shape[0], x2.shape[0]
     if n >= m:
         mult_l, mult_r = 1.0, float(n // m)
@@ -219,7 +219,72 @@ def _emd_streamed_one(x1, x2, chunk):
     x2c = x2.reshape(m // chunk, chunk, 3)
     rrc = jnp.moveaxis(rrs.reshape(10, m // chunk, chunk), 1, 0)
     cost, _ = jax.lax.scan(cost_chunk, jnp.float32(0.0), (x2c, rrc))
+    return cost, rls, rrs
+
+
+def _streamed_match_moments(x1, x2, rls, rrs, levels, chunk):
+    """Streaming row/column sums of match and match-weighted coordinates:
+    rowsum (N,), colsum (M,), wx2 (N,3) = sum_l match_lk x2_l,
+    wx1 (M,3) = sum_k match_lk x1_k — everything the analytic EMD gradients
+    (matchcostgrad1/2) need, without the (N, M) match."""
+    n, m = x1.shape[0], x2.shape[0]
+
+    def chunk_step(carry, args):
+        rowsum, wx2 = carry
+        xc, rr_c = args                              # (chunk,3), (10,chunk)
+        d2 = (jnp.sum(x1 * x1, -1)[:, None] + jnp.sum(xc * xc, -1)[None, :]
+              - 2.0 * jnp.einsum("nd,md->nm", x1, xc,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST))
+        d2 = jnp.maximum(d2, 0.0)
+        match_c = jnp.zeros_like(d2)                 # (N, chunk)
+        for lev in range(10):
+            match_c = match_c + jnp.exp(levels[lev] * d2) \
+                * rls[lev][:, None] * rr_c[lev][None, :]
+        rowsum = rowsum + jnp.sum(match_c, axis=1)
+        wx2 = wx2 + match_c @ xc
+        colsum_c = jnp.sum(match_c, axis=0)
+        wx1_c = match_c.T @ x1
+        return (rowsum, wx2), (colsum_c, wx1_c)
+
+    x2c = x2.reshape(m // chunk, chunk, 3)
+    rrc = jnp.moveaxis(rrs.reshape(10, m // chunk, chunk), 1, 0)
+    (rowsum, wx2), (colsum_c, wx1_c) = jax.lax.scan(
+        chunk_step, (jnp.zeros(n, jnp.float32), jnp.zeros((n, 3),
+                                                          jnp.float32)),
+        (x2c, rrc))
+    return rowsum, wx2, colsum_c.reshape(m), wx1_c.reshape(m, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _emd_streamed_cost(xyz1, xyz2, chunk):
+    f = functools.partial(_emd_streamed_one, chunk=chunk)
+    cost, _, _ = jax.vmap(f)(xyz1, xyz2)
     return cost
+
+
+def _emd_streamed_fwd(xyz1, xyz2, chunk):
+    f = functools.partial(_emd_streamed_one, chunk=chunk)
+    cost, rls, rrs = jax.vmap(f)(xyz1, xyz2)
+    return cost, (xyz1, xyz2, rls, rrs)
+
+
+def _emd_streamed_bwd(chunk, res, g):
+    xyz1, xyz2, rls, rrs = res
+    levels = jnp.array([-float(4.0 ** j) for j in range(7, -2, -1)] + [0.0],
+                       dtype=jnp.float32)
+
+    def one(x1, x2, rl, rr):
+        return _streamed_match_moments(x1, x2, rl, rr, levels, chunk)
+
+    rowsum, wx2, colsum, wx1 = jax.vmap(one)(xyz1, xyz2, rls, rrs)
+    # matchcostgrad1/2 (emd_kernel.cu:285-353), streaming form
+    g1 = 2.0 * (xyz1 * rowsum[..., None] - wx2) * g[:, None, None]
+    g2 = 2.0 * (xyz2 * colsum[..., None] - wx1) * g[:, None, None]
+    return g1, g2
+
+
+_emd_streamed_cost.defvjp(_emd_streamed_fwd, _emd_streamed_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -227,11 +292,11 @@ def earth_mover_distance_streamed(xyz1: jax.Array, xyz2: jax.Array,
                                   chunk: int = 2048) -> jax.Array:
     """O(N+M)-memory approxmatch EMD for large clouds (20k+ points).
 
-    Same semantics as ``earth_mover_distance`` up to fp summation order;
-    forward-only (use the dense path for gradients at <= ~4k points).
-    Clouds are zero-padded to a multiple of `chunk`... padding would bias
-    the match, so instead N and M must already be multiples of `chunk`
-    (assert below) — callers subsample to a round size.
+    Same semantics as ``earth_mover_distance`` up to fp summation order,
+    INCLUDING analytic gradients (streamed match moments), so EMD is usable
+    as a training loss at sizes where the reference kernel OOMs.  N and M
+    must be divisible by `chunk` (padding would bias the match) — callers
+    subsample to a round size.
     """
     if xyz1.ndim == 2:
         xyz1 = xyz1[None]
@@ -241,6 +306,6 @@ def earth_mover_distance_streamed(xyz1: jax.Array, xyz2: jax.Array,
     chunk = min(chunk, n, m)
     assert n % chunk == 0 and m % chunk == 0, \
         f"streamed EMD needs N, M divisible by chunk={chunk}"
-    f = functools.partial(_emd_streamed_one, chunk=chunk)
-    cost = jax.vmap(f)(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32))
+    cost = _emd_streamed_cost(xyz1.astype(jnp.float32),
+                              xyz2.astype(jnp.float32), chunk)
     return cost / float(n)

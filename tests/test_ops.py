@@ -351,3 +351,17 @@ def test_emd_single_point():
     b = jnp.asarray([[[0.0, 0, 0]]])
     d = float(ops.earth_mover_distance(a, b)[0])
     assert abs(d - 1.0) < 1e-3  # d^2 = 1, match = 1, /N = 1
+
+
+def test_emd_streamed_gradients_match_dense(rng):
+    from pcfm.ops.emd import earth_mover_distance_streamed
+    a = jnp.asarray(rng.randn(2, 96, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+    gd = jax.grad(lambda x: jnp.sum(ops.earth_mover_distance(x, b)))(a)
+    gs = jax.grad(lambda x: jnp.sum(
+        earth_mover_distance_streamed(x, b, chunk=32)))(a)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), atol=1e-5)
+    gd2 = jax.grad(lambda y: jnp.sum(ops.earth_mover_distance(a, y)))(b)
+    gs2 = jax.grad(lambda y: jnp.sum(
+        earth_mover_distance_streamed(a, y, chunk=32)))(b)
+    np.testing.assert_allclose(np.asarray(gs2), np.asarray(gd2), atol=1e-5)
