@@ -62,17 +62,27 @@ def _discover(data_dir: str, split: str, patterns: Sequence[str],
 
 
 class _H5ShardDataset:
-    """Common shard plumbing: lazy per-file handles, (file, row) index."""
+    """Common shard plumbing: lazy per-file handles, (file, row) index.
+
+    Handles are opened under a lock: the DataLoader's thread pool calls
+    ``get`` concurrently, and a bare check-then-set would leak duplicate
+    h5py.File objects (reads themselves are safe — h5py serializes all
+    HDF5 calls behind its global lock)."""
 
     def __init__(self):
+        import threading
         self._handles: Dict[int, "h5py.File"] = {}
+        self._open_lock = threading.Lock()
 
     def _ensure_open(self, fi: int):
         import h5py
         h = self._handles.get(fi)
         if h is None:
-            h = h5py.File(self.files[fi], "r")
-            self._handles[fi] = h
+            with self._open_lock:
+                h = self._handles.get(fi)
+                if h is None:
+                    h = h5py.File(self.files[fi], "r")
+                    self._handles[fi] = h
         return h
 
     def close(self):
