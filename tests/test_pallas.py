@@ -41,3 +41,16 @@ def test_chamfer_pallas_v2_matches_oracle():
     np.testing.assert_allclose(np.asarray(d2), w2, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(i1), j1)
     np.testing.assert_array_equal(np.asarray(i2), j2)
+
+
+def test_chamfer_pallas_v3_matches_oracle():
+    from pcfm.ops.pallas import chamfer_distance_pallas_v3
+    rng = np.random.RandomState(0)
+    a = rng.randn(2, 700, 3).astype(np.float32)
+    b = rng.randn(2, 500, 3).astype(np.float32)
+    d1, d2, i1, i2 = chamfer_distance_pallas_v3(jnp.asarray(a),
+                                                jnp.asarray(b),
+                                                interpret=True)
+    w1, w2, j1, j2 = oracles.chamfer_np(a, b)
+    np.testing.assert_allclose(np.asarray(d1), w1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1), j1)
