@@ -26,7 +26,7 @@ from pcfm.train.evaluate import (dump_clouds, make_recon_fn, make_sample_fn,
                                  val_cd)
 from pcfm.train.state import count_parameters, init_state
 from pcfm.train.step import make_train_step
-from pcfm.utils import MetricEMA, Timer, seed_all
+from pcfm.utils import MetricEMA, seed_all
 
 
 def device_prefetch(batches, mesh, cfg, depth: int = 2):
@@ -114,7 +114,6 @@ def train(cfg: Config, verbose: bool = True) -> dict:
     val_batch = next(iter(val_loader.epoch_batches(0)))
 
     lp_ema, lz_ema = MetricEMA(), MetricEMA()
-    timer = Timer()
     last_metrics = {}
     profiling = bool(cfg.profile_dir) and rank == 0
     global_step_seen = 0
@@ -136,7 +135,6 @@ def train(cfg: Config, verbose: bool = True) -> dict:
             if profiling and global_step_seen == 1:
                 # skip step 0 (compile); trace a few steady-state steps
                 jax.profiler.start_trace(cfg.profile_dir)
-            timer.tic()
             state, metrics = step_fn(state, mb, sk, color_on, drop_p)
             n_steps += 1
             global_step_seen += 1

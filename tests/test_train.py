@@ -245,3 +245,27 @@ def test_dopri5_sampler():
     x2 = dopri5_sample(lambda x, t, c: x, jnp.ones((1, 1, 1)), steps=10,
                        rtol=1e-6, atol=1e-8)
     assert abs(float(x2[0, 0, 0]) - np.e) < 1e-5
+
+
+def test_train_step_deterministic():
+    """Same state, batch and key -> bitwise-identical loss and params
+    (the deterministic-scatter claim, vs the reference's atomicAdd)."""
+    cfg = tiny_cfg(pf_backbone="hybrid", ctx_dim=8, ctx_emb_dim=16,
+                   ctx_stage_channels=[8], ctx_stage_blocks=[1],
+                   ctx_stage_res=[4], has_rgb=True, cond_dim=1,
+                   pointflow_rgb=True, use_rgb_in_latent=True)
+    key = jax.random.PRNGKey(0)
+    batch = {"pts": jax.random.normal(key, (2, 24, 3)),
+             "rgb": jax.random.uniform(key, (2, 24, 3)),
+             "cond": jax.random.normal(key, (2, 1))}
+    outs = []
+    for _ in range(2):
+        bundle, state, tx = init_state(cfg, jax.random.PRNGKey(1), 100)
+        step = make_train_step(bundle, tx, donate=False)
+        state, m = step(state, batch, jax.random.PRNGKey(2),
+                        jnp.float32(1.0), jnp.float32(0.1))
+        outs.append((float(m["loss"]),
+                     np.asarray(jax.tree_util.tree_leaves(
+                         state.params)[0])))
+    assert outs[0][0] == outs[1][0]
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
