@@ -85,3 +85,17 @@ def test_cloud_metrics_streamed_emd_large():
     x = jax.random.normal(key, (1, 1536, 3))
     m_small = cloud_metrics(x, x, emd_max_points=512)
     assert float(m_small["emd"][0]) < 1e-3
+
+
+def test_recon_without_ema(trained_run):
+    """ema_eval=False path: recon uses live params, still finite output."""
+    from pcfm.sample.cli import load_run
+    from pcfm.train.evaluate import make_recon_fn
+    cfg, bundle, state, _ = load_run(trained_run, {"sample_steps": 2})
+    recon = make_recon_fn(bundle, use_ema=False)
+    pts = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 3))
+    rgb = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 3))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 1))
+    x = recon(state, pts, rgb, cond, jax.random.PRNGKey(3))
+    assert x.shape == (2, 32, cfg.pf_point_dim)
+    assert np.isfinite(np.asarray(x)).all()

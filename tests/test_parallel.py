@@ -128,3 +128,24 @@ def test_sp_global_max_matches_global():
     got = np.asarray(fn(jax.device_put(h, batch_sharding(mesh))))
     np.testing.assert_allclose(got, np.asarray(jnp.max(h, axis=1)),
                                atol=1e-6)
+
+
+def test_sharded_hybrid_matches_single_device():
+    cfg = tiny_cfg(pf_backbone="hybrid", ctx_dim=8, ctx_emb_dim=16,
+                   ctx_stage_channels=[8], ctx_stage_blocks=[1],
+                   ctx_stage_res=[4], dp=2, sp=4)
+    bundle, state0, tx = init_state(cfg, jax.random.PRNGKey(0), 100)
+    step = make_train_step(bundle, tx, donate=False)
+    batch = _batch(jax.random.PRNGKey(1), b=4, n=32)
+    rng = jax.random.PRNGKey(2)
+    c1, d1 = jnp.float32(1.0), jnp.float32(0.0)
+    s_ref, m_ref = step(state0, batch, rng, c1, d1)
+    mesh = make_mesh(2, 4)
+    s_mesh, m_mesh = step(replicate_state(state0, mesh),
+                          shard_batch(batch, mesh), rng, c1, d1)
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_mesh["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_mesh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
+                                   atol=1e-4)
