@@ -52,10 +52,16 @@ def _fields(buf: bytes):
 
 
 def parse_xspace(path: str):
-    """Return {plane_name: [(op_name, total_ps, count), ...] sorted desc}."""
+    """Return ({plane: [(op, total_ps, count), ...]},
+               {plane: [(line_name, busy_ps, span_ps, n_events), ...]}).
+
+    busy_ps is the union of event intervals on the line (occupancy); span_ps
+    is last-end minus first-start — busy/span is the line's duty cycle.
+    """
     with open(path, "rb") as f:
         space = f.read()
     planes = {}
+    occupancy = {}
     for field, _, val in _fields(space):
         if field != 1:                    # XSpace.planes
             continue
@@ -80,23 +86,46 @@ def parse_xspace(path: str):
             elif pf == 3:                 # XLine
                 lines.append(pv)
         agg = defaultdict(lambda: [0, 0])
+        occ = []
         for line in lines:
+            lname = ""
+            intervals = []
             for lf, _, lv in _fields(line):
-                if lf != 4:               # XLine.events
-                    continue
-                mid, dur = None, 0
-                for ef, _, ev in _fields(lv):
-                    if ef == 1:
-                        mid = ev
-                    elif ef == 3:
-                        dur = ev
-                if mid is not None:
-                    a = agg[meta.get(mid, f"meta:{mid}")]
-                    a[0] += dur
-                    a[1] += 1
+                if lf == 2:
+                    lname = lv.decode("utf-8", "ignore")
+                elif lf == 11:
+                    lname = lv.decode("utf-8", "ignore") or lname
+                elif lf == 4:             # XLine.events
+                    mid, dur, off = None, 0, 0
+                    for ef, _, ev in _fields(lv):
+                        if ef == 1:
+                            mid = ev
+                        elif ef == 2:
+                            off = ev
+                        elif ef == 3:
+                            dur = ev
+                    if mid is not None:
+                        a = agg[meta.get(mid, f"meta:{mid}")]
+                        a[0] += dur
+                        a[1] += 1
+                        intervals.append((off, off + dur))
+            if intervals:
+                intervals.sort()
+                busy = 0
+                cur_s, cur_e = intervals[0]
+                for s, e in intervals[1:]:
+                    if s > cur_e:
+                        busy += cur_e - cur_s
+                        cur_s, cur_e = s, e
+                    else:
+                        cur_e = max(cur_e, e)
+                busy += cur_e - cur_s
+                span = intervals[-1][1] - intervals[0][0]
+                occ.append((lname, busy, span, len(intervals)))
         planes[name] = sorted(((k, v[0], v[1]) for k, v in agg.items()),
                               key=lambda x: -x[1])
-    return planes
+        occupancy[name] = occ
+    return planes, occupancy
 
 
 def main():
@@ -109,11 +138,17 @@ def main():
             raise SystemExit(f"no .xplane.pb under {target}")
         target = files[-1]
     print(f"[trace] {target}")
-    for plane, ops in parse_xspace(target).items():
+    planes, occupancy = parse_xspace(target)
+    for plane, ops in planes.items():
         total = sum(t for _, t, _ in ops)
         if not total or "Steps" in plane:
             continue
         print(f"\n== {plane}  (total {total/1e9:.3f} ms of events)")
+        for lname, busy, span, n in occupancy.get(plane, []):
+            if span:
+                print(f"  line '{lname}': busy {busy/1e9:.3f} ms / span "
+                      f"{span/1e9:.3f} ms = {100*busy/span:.0f}% duty, "
+                      f"{n} events")
         for opname, t, c in ops[:topk]:
             print(f"  {t/1e9:9.3f} ms  x{c:<6d} {opname[:90]}")
 
