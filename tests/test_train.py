@@ -258,11 +258,11 @@ def test_train_step_deterministic():
     batch = {"pts": jax.random.normal(key, (2, 24, 3)),
              "rgb": jax.random.uniform(key, (2, 24, 3)),
              "cond": jax.random.normal(key, (2, 1))}
+    bundle, state0, tx = init_state(cfg, jax.random.PRNGKey(1), 100)
+    step = make_train_step(bundle, tx, donate=False)
     outs = []
     for _ in range(2):
-        bundle, state, tx = init_state(cfg, jax.random.PRNGKey(1), 100)
-        step = make_train_step(bundle, tx, donate=False)
-        state, m = step(state, batch, jax.random.PRNGKey(2),
+        state, m = step(state0, batch, jax.random.PRNGKey(2),
                         jnp.float32(1.0), jnp.float32(0.1))
         outs.append((float(m["loss"]),
                      np.asarray(jax.tree_util.tree_leaves(
