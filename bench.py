@@ -14,8 +14,11 @@ on-device data, prints ONE JSON line on stdout, and extra detail on stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
