@@ -8,7 +8,8 @@ from pcfm.ops.emd import (earth_mover_distance,
                           earth_mover_distance_streamed, approxmatch,
                           matchcost)
 from pcfm.ops.sampling import (furthest_point_sample,
-                               furthest_point_sample_indices, gather)
+                               furthest_point_sample_indices, gather,
+                               logits_mask)
 from pcfm.ops.ball_query import ball_query, grouping
 from pcfm.ops.interpolate import (nearest_neighbor_interpolate, three_nn,
                                   three_nn_weights)
@@ -20,6 +21,7 @@ __all__ = [
     "fscore", "earth_mover_distance", "earth_mover_distance_streamed",
     "approxmatch", "matchcost",
     "furthest_point_sample", "furthest_point_sample_indices", "gather",
+    "logits_mask",
     "ball_query", "grouping", "nearest_neighbor_interpolate", "three_nn",
     "three_nn_weights", "kl_loss", "huber_loss",
 ]

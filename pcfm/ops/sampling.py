@@ -61,3 +61,44 @@ def furthest_point_sample(coords: jax.Array, num_samples: int) -> jax.Array:
     ``furthest_point_sample``, functional/sampling.py:37-49)."""
     idx = furthest_point_sample_indices(coords, num_samples)
     return gather(coords, idx)
+
+
+def logits_mask(coords: jax.Array, logits: jax.Array,
+                num_points_per_object: int, key: jax.Array):
+    """Sample points predicted positive by binary logits (reference
+    ``logits_mask``, functional/sampling.py:52-85, used by the frustum
+    pipeline).
+
+    Args:
+      coords: (B, N, 3) point coordinates (channel-last).
+      logits: (B, N, 2) binary classification logits per point.
+      num_points_per_object: M points to select per cloud.
+      key: PRNG key (the reference uses np.random; selection here is
+        functional).
+    Returns:
+      (selected (B, M, 3) mean-centered masked coords, mean (B, 3),
+      mask (B, N) bool).  When a cloud has fewer than M positives, positives
+      are repeated (reference tiling semantics); with zero positives the
+      selection degenerates to index 0 of the zeroed coords (matching the
+      reference's all-zero selected_indices).
+    """
+    b, n, _ = coords.shape
+    m = int(num_points_per_object)
+    mask = logits[..., 0] < logits[..., 1]                          # (B, N)
+    num_candidates = jnp.sum(mask, axis=-1, keepdims=True)          # (B, 1)
+    masked_coords = coords * mask[..., None]
+    mean = (jnp.sum(masked_coords, axis=1)
+            / jnp.maximum(num_candidates, 1).astype(coords.dtype))  # (B, 3)
+
+    def select_one(k, mask_b):
+        cnt = jnp.sum(mask_b)
+        # candidate indices ordered first (stable), padding after
+        order = jnp.argsort(~mask_b, stable=True).astype(jnp.int32)
+        # random permutation of candidate slots with repetition when cnt < M
+        slot = jax.random.randint(k, (m,), 0, jnp.maximum(cnt, 1))
+        return jnp.where(cnt > 0, order[slot], 0)
+
+    keys = jax.random.split(key, b)
+    sel = jax.vmap(select_one)(keys, mask)                          # (B, M)
+    selected = gather(masked_coords - mean[:, None, :], sel)
+    return selected, mean, mask

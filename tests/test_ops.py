@@ -365,3 +365,35 @@ def test_emd_streamed_gradients_match_dense(rng):
     gs2 = jax.grad(lambda y: jnp.sum(
         earth_mover_distance_streamed(a, y, chunk=32)))(b)
     np.testing.assert_allclose(np.asarray(gs2), np.asarray(gd2), atol=1e-5)
+
+
+def test_logits_mask(rng):
+    coords = jnp.asarray(rng.randn(2, 40, 3).astype(np.float32))
+    logits = jnp.asarray(rng.randn(2, 40, 2).astype(np.float32))
+    sel, mean, mask = ops.logits_mask(coords, logits, 16,
+                                      jax.random.PRNGKey(0))
+    assert sel.shape == (2, 16, 3) and mean.shape == (2, 3)
+    mask_np = np.asarray(mask)
+    # mean matches the positive-point average
+    for b in range(2):
+        pos = np.asarray(coords)[b][mask_np[b]]
+        np.testing.assert_allclose(np.asarray(mean)[b], pos.mean(0),
+                                   rtol=1e-4, atol=1e-5)
+    # selected points are centered positives: adding the mean back must land
+    # on actual positive coords
+    restored = np.asarray(sel) + np.asarray(mean)[:, None, :]
+    for b in range(2):
+        pos = {tuple(np.round(p, 4)) for p in
+               np.asarray(coords)[b][mask_np[b]]}
+        for p in restored[b]:
+            assert tuple(np.round(p, 4)) in pos
+
+
+def test_logits_mask_no_positives():
+    coords = jnp.ones((1, 10, 3))
+    logits = jnp.stack([jnp.ones((1, 10)), jnp.zeros((1, 10))], axis=-1)
+    sel, mean, mask = ops.logits_mask(coords, logits, 4,
+                                      jax.random.PRNGKey(0))
+    assert not bool(jnp.any(mask))
+    np.testing.assert_allclose(np.asarray(mean), 0.0)
+    np.testing.assert_allclose(np.asarray(sel), 0.0)  # zeroed coords, idx 0
