@@ -115,6 +115,8 @@ class Config:
     # ========== System / I/O ==========
     out_dir: str = "./runs/hybrid"
     save_every: int = 10
+    keep_last_ckpts: int = 0              # GC to newest K checkpoints (0=all)
+    async_save: bool = True               # background orbax serialization
     vis_count: int = 8
     seed: int = 123
     amp: bool = True                      # bf16 compute (fp32 params)

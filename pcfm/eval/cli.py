@@ -13,10 +13,20 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from pcfm.data import DataLoader, get_datasets
 from pcfm.eval.metrics import aggregate, cloud_metrics
 from pcfm.sample.cli import load_run
 from pcfm.train.evaluate import make_recon_fn, make_sample_fn
+
+
+def pad_batch(arr: Optional[jax.Array], full: int) -> Optional[jax.Array]:
+    """Pad a ragged tail batch to the jit-stable full batch size by
+    repeating the last row; callers slice results back to the true count."""
+    if arr is None or arr.shape[0] == full:
+        return arr
+    pad = jnp.broadcast_to(arr[-1:], (full - arr.shape[0],) + arr.shape[1:])
+    return jnp.concatenate([arr, pad], axis=0)
 
 
 def main(argv: Optional[Sequence[str]] = None):
@@ -40,7 +50,9 @@ def main(argv: Optional[Sequence[str]] = None):
              "guidance_scale")}
     cfg, bundle, state, ep = load_run(args.out_dir, over)
     _, te_ds = get_datasets(cfg)
-    loader = DataLoader(te_ds, cfg.batch_size, shuffle=False, drop_last=True,
+    # drop_last=False: the tail batch is padded to the jit batch size and the
+    # padded rows' metrics sliced off, so EVERY test cloud is evaluated.
+    loader = DataLoader(te_ds, cfg.batch_size, shuffle=False, drop_last=False,
                         seed=cfg.seed, num_workers=2)
 
     recon_fn = make_recon_fn(bundle)
@@ -48,6 +60,7 @@ def main(argv: Optional[Sequence[str]] = None):
     key = jax.random.PRNGKey(args.seed)
 
     results = {}
+    counts = {}
     for mode in (["recon", "gen"] if args.mode == "both" else [args.mode]):
         batches = []
         for bi, batch in enumerate(loader.epoch_batches(0)):
@@ -58,17 +71,24 @@ def main(argv: Optional[Sequence[str]] = None):
             rgb = jnp.asarray(rgb, jnp.float32) if rgb is not None else None
             cond = batch.get("cond")
             cond = jnp.asarray(cond, jnp.float32) if cond is not None else None
+            true_b = pts.shape[0]
+            pts = pad_batch(pts, cfg.batch_size)
+            rgb = pad_batch(rgb, cfg.batch_size)
+            cond = pad_batch(cond, cfg.batch_size)
             key, k1 = jax.random.split(key)
             if mode == "recon":
                 x = recon_fn(state, pts, rgb, cond, k1)
             else:
                 x = sample_fn(state, cond, k1, pts.shape[0], pts.shape[1])
-            batches.append(cloud_metrics(x, pts,
-                                         emd_max_points=args.emd_max_points,
-                                         key=k1))
+            mb = cloud_metrics(x, pts, emd_max_points=args.emd_max_points,
+                               key=k1)
+            batches.append({k: np.asarray(v)[:true_b]
+                            for k, v in mb.items()})
         results[mode] = aggregate(batches)
+        counts[mode] = sum(int(mb["cd"].shape[0]) for mb in batches)
 
     out = {"epoch": ep, "sampler": cfg.sampler, "steps": cfg.sample_steps,
+           "n_clouds": max(counts.values()),
            **{f"{m}_{k}": round(v, 6) for m, r in results.items()
               for k, v in r.items()}}
     print(json.dumps(out))

@@ -35,7 +35,7 @@ def furthest_point_sample_indices(coords: jax.Array,
         idxs = idxs.at[:, j].set(best)
         return dists, idxs, best
 
-    dists0 = jnp.full((b, n), 1e40, jnp.float32)
+    dists0 = jnp.full((b, n), jnp.inf, jnp.float32)
     idxs0 = jnp.zeros((b, m), jnp.int32)
     last0 = jnp.zeros((b,), jnp.int32)
     _, idxs, _ = jax.lax.fori_loop(1, m, body, (dists0, idxs0, last0))

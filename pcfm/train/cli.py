@@ -119,6 +119,9 @@ def build_parser() -> argparse.ArgumentParser:
     # ========== System / I/O ==========
     flag("--out_dir", type=str, default=d.out_dir)
     flag("--save_every", type=int, default=d.save_every)
+    flag("--keep_last_ckpts", type=int, default=d.keep_last_ckpts)
+    flag("--async_save", action="store_true", default=d.async_save)
+    flag("--no_async_save", dest="async_save", action="store_false")
     flag("--vis_count", type=int, default=d.vis_count)
     flag("--seed", type=int, default=d.seed)
     flag("--amp", action="store_true", default=d.amp)

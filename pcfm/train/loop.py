@@ -176,10 +176,12 @@ def train(cfg: Config, verbose: bool = True) -> dict:
 
         if (ep % cfg.save_every) == 0 or ep == cfg.epochs:
             if rank == 0:
-                ckpt.save(cfg.out_dir, ep, state, cfg)
+                ckpt.save(cfg.out_dir, ep, state, cfg,
+                          async_save=cfg.async_save)
             run_validation(cfg, bundle, state, recon_fn, sample_fn,
                            val_batch, ep, rng, rank, verbose)
 
+    ckpt.wait_for_saves()
     return {"epochs_run": cfg.epochs - start_epoch + 1, **last_metrics}
 
 

@@ -60,6 +60,28 @@ def test_eval_cli(trained_run, capsys):
     assert parsed["epoch"] == 1
 
 
+def test_eval_cli_covers_whole_split(trained_run):
+    """drop_last=False + tail padding: every test cloud is evaluated even
+    when len(test) % batch_size != 0 (64 % 5 = 4 tail clouds)."""
+    from pcfm.eval.cli import main
+    out = main(["--out_dir", trained_run, "--mode", "recon",
+                "--batch_size", "5", "--sample_steps", "2",
+                "--emd_max_points", "64"])
+    assert out["n_clouds"] == 64
+    assert np.isfinite(out["recon_cd"])
+
+
+def test_pad_batch_roundtrip():
+    from pcfm.eval.cli import pad_batch
+    x = jnp.arange(12.0).reshape(3, 4)
+    y = pad_batch(x, 5)
+    assert y.shape == (5, 4)
+    np.testing.assert_array_equal(np.asarray(y[:3]), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y[3]), np.asarray(x[-1]))
+    assert pad_batch(None, 5) is None
+    assert pad_batch(x, 3) is x
+
+
 def test_cloud_metrics_identity():
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (2, 128, 3))

@@ -211,6 +211,69 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_tolerant_restore_model_growth(tmp_path):
+    """Resume after a config change (adversary head added): matching
+    subtrees load, the new subtree keeps fresh init, optimizer resets
+    (reference train.py:459-516 non-strict semantics)."""
+    cfg = tiny_cfg()
+    bundle, state, tx = init_state(cfg, jax.random.PRNGKey(0), 100)
+    step = make_train_step(bundle, tx, donate=False)
+    batch = {"pts": jax.random.normal(jax.random.PRNGKey(1), (2, 16, 3))}
+    state, _ = step(state, batch, jax.random.PRNGKey(2), jnp.float32(0),
+                    jnp.float32(0))
+    ckpt.save(str(tmp_path), 3, state, cfg, async_save=False)
+
+    cfg2 = tiny_cfg(cond_dim=2, lambda_adv=0.1)
+    _, state2, _ = init_state(cfg2, jax.random.PRNGKey(9), 100)
+    fresh_adv = jax.tree_util.tree_leaves(state2.params["adv"])
+    state3, meta, report = ckpt.restore_tolerant(
+        os.path.join(str(tmp_path), "ckpts", "hybrid_ep0003"), state2,
+        verbose=False)
+    assert meta["epoch"] == 3
+    # enc params identical to the saved run
+    for a, b in zip(jax.tree_util.tree_leaves(state.params["enc"]),
+                    jax.tree_util.tree_leaves(state3.params["enc"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # adv subtree kept fresh
+    for a, b in zip(fresh_adv, jax.tree_util.tree_leaves(
+            state3.params["adv"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # the shape/param-group mismatch forces a whole-opt reset
+    assert report["opt_reset"]
+    assert any(k.startswith("params/adv") for k in report["missing"])
+
+
+def test_tolerant_restore_width_change(tmp_path):
+    """pf width change: pf keeps fresh init (mismatched shapes), enc/lf
+    load; run continues finitely."""
+    cfg = tiny_cfg()
+    bundle, state, tx = init_state(cfg, jax.random.PRNGKey(0), 100)
+    ckpt.save(str(tmp_path), 1, state, cfg, async_save=False)
+    cfg2 = tiny_cfg(pf_width=cfg.pf_width * 2)
+    _, state2, _ = init_state(cfg2, jax.random.PRNGKey(5), 100)
+    state3, _, report = ckpt.restore_tolerant(
+        os.path.join(str(tmp_path), "ckpts", "hybrid_ep0001"), state2,
+        verbose=False)
+    assert any(k.startswith("params/pf") for k in report["missing"])
+    for a, b in zip(jax.tree_util.tree_leaves(state.params["lf"]),
+                    jax.tree_util.tree_leaves(state3.params["lf"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_gc_keep_last(tmp_path):
+    cfg = tiny_cfg(keep_last_ckpts=2)
+    _, state, _ = init_state(cfg, jax.random.PRNGKey(0), 100)
+    for ep in (1, 2, 3, 4):
+        ckpt.save(str(tmp_path), ep, state, cfg, async_save=True)
+    ckpt.wait_for_saves()
+    ckpt.gc_old(str(tmp_path), 2)
+    d = ckpt.ckpt_dir(str(tmp_path))
+    left = sorted(fn for fn in os.listdir(d) if fn.startswith("hybrid_ep"))
+    assert left == ["hybrid_ep0003", "hybrid_ep0004"]
+    path, ep = ckpt.find_latest(str(tmp_path))
+    assert ep == 4
+
+
 def test_cli_parses_reference_command():
     """The reference README command's flag surface must parse."""
     from pcfm.train.cli import parse_config
