@@ -31,6 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--group-by-cat", action="store_true")
     ap.add_argument("--allow-duplicate-combos", action="store_true")
     ap.add_argument("--ply-ascii", action="store_true")
+    ap.add_argument("--no-glb", action="store_true",
+                    help="skip mesh.glb export per pose")
     ap.add_argument("--workers", type=int, default=1)
     ap.add_argument("--init-only", action="store_true")
     ap.add_argument("--point-sampling", type=str, default="random",
@@ -48,6 +50,7 @@ def _worker(row, payload):
 def main(argv: Optional[Sequence[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     cfg = GenConfig(points_per_pose=args.points, ply_ascii=args.ply_ascii,
+                    glb_export=not args.no_glb,
                     point_sampling=args.point_sampling,
                     fps_oversample=args.fps_oversample)
 

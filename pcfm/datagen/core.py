@@ -121,6 +121,29 @@ def parse_steps_override(mapping: str) -> Dict[str, int]:
 # ---------------- mesh representation ----------------
 
 @dataclass
+class Material:
+    """One material: an optional texture image and/or a Kd color
+    (make_dataset.py:206-221 ``_material_color_to_rgba255``)."""
+    image: Optional[np.ndarray] = None        # (H, W, >=3) uint8
+    rgba: Optional[np.ndarray] = None         # (4,) uint8 (Kd)
+
+
+def material_color_to_rgba255(col) -> Optional[np.ndarray]:
+    """Kd/main_color-like value -> uint8 RGBA (make_dataset.py:206-221)."""
+    if col is None:
+        return None
+    col = np.array(col, dtype=np.float32).reshape(-1)
+    if col.size < 3:
+        return None
+    if col.max() <= 1.0 + 1e-6:
+        col = col * 255.0
+    col = np.clip(col, 0, 255)
+    if col.size == 3:
+        col = np.append(col, 255.0)
+    return col[:4].astype(np.uint8)
+
+
+@dataclass
 class MeshPiece:
     vertices: np.ndarray                      # (V, 3) float
     faces: np.ndarray                         # (F, 3) int
@@ -129,6 +152,12 @@ class MeshPiece:
     face_colors: Optional[np.ndarray] = None  # (F, >=3) uint8
     vertex_colors: Optional[np.ndarray] = None  # (V, >=3) uint8
     material_rgba: Optional[np.ndarray] = None  # (4,) uint8 (Kd)
+    # multi-material support (make_dataset.py:318-380): a material list and
+    # a per-face material index; when set these take priority over the
+    # single texture/material_rgba fields (which remain as the
+    # single-material shorthand)
+    materials: Optional[List[Material]] = None
+    face_materials: Optional[np.ndarray] = None  # (F,) int
 
     @property
     def triangles(self) -> np.ndarray:
@@ -147,6 +176,46 @@ class MeshPiece:
     @property
     def is_empty(self) -> bool:
         return len(self.faces) == 0
+
+
+def _piece_materials(piece: MeshPiece):
+    """Normalize the material representation: returns (materials,
+    face_materials) where materials is a non-empty list and face_materials a
+    (F,) int index, or (None, None) when the piece has no material info.
+    The single-material shorthand (texture / material_rgba) becomes a
+    one-element list with all faces on index 0 (the reference's default
+    ``face_mats = zeros`` — make_dataset.py:324-327)."""
+    if piece.materials:
+        fm = piece.face_materials
+        if fm is None or len(fm) != len(piece.faces):
+            fm = np.zeros(len(piece.faces), np.int64)
+        else:
+            fm = np.asarray(fm, np.int64)
+        return list(piece.materials), fm
+    if piece.texture is not None or piece.material_rgba is not None:
+        mat = Material(image=piece.texture, rgba=piece.material_rgba)
+        return [mat], np.zeros(len(piece.faces), np.int64)
+    return None, None
+
+
+def face_rgba_from_materials(piece: MeshPiece) -> Optional[np.ndarray]:
+    """Per-face RGBA from MTL Kd via materials + face_materials, for meshes
+    using multiple materials without textures (make_dataset.py:223-254)."""
+    mats, face_mats = _piece_materials(piece)
+    if mats is None:
+        return None
+    cache = [m.rgba for m in mats]
+    if all(c is None for c in cache):
+        return None
+    fc = np.tile(np.array([180, 180, 180, 255], np.uint8),
+                 (len(piece.faces), 1))
+    for midx, rgba in enumerate(cache):
+        if rgba is None:
+            continue
+        mask = face_mats == midx
+        if np.any(mask):
+            fc[mask] = np.asarray(rgba, np.uint8)[:4]
+    return fc
 
 
 def apply_transform(piece: MeshPiece, T: np.ndarray) -> MeshPiece:
@@ -215,10 +284,11 @@ def sample_piece_points_with_color(piece: MeshPiece, n: int,
                                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Sample n points + colors from one piece.
 
-    Color priority (make_dataset.py:296-416):
-      A) texture via barycentric UV lookup
+    Color priority (make_dataset.py:292-393):
+      A) UV present: each point's FACE MATERIAL — texture lookup when that
+         material has an image, else its Kd (mixed materials supported)
       B) face_colors, then vertex_colors (barycentric blend)
-      C) material Kd
+      C) per-face Kd via materials + face_materials (no-UV meshes)
       D) gray (180,180,180)
     """
     rng = rng or np.random.RandomState(0)
@@ -234,9 +304,10 @@ def sample_piece_points_with_color(piece: MeshPiece, n: int,
         pts, fidx = dense[sel], fdense[sel]
 
     rgb = np.tile(GRAY, (pts.shape[0], 1))
+    mats, face_mats = _piece_materials(piece)
 
-    # A) texture
-    if piece.texture is not None and piece.uv is not None:
+    # A) texture/Kd per face material (make_dataset.py:318-360)
+    if piece.uv is not None and mats is not None:
         faces = piece.faces[fidx]
         tris = piece.vertices[faces]
         wts = barycentric_weights(tris, pts)
@@ -244,11 +315,18 @@ def sample_piece_points_with_color(piece: MeshPiece, n: int,
         uv_pts = (uv_face * wts[..., None]).sum(axis=1)
         u = np.mod(uv_pts[:, 0], 1.0)
         v = np.mod(uv_pts[:, 1], 1.0)
-        img = piece.texture
-        h, w = img.shape[:2]
-        x = (u * (w - 1)).astype(np.int32)
-        y = ((1.0 - v) * (h - 1)).astype(np.int32)
-        rgb = img[y, x, :3].astype(np.uint8)
+        fm_pts = face_mats[fidx]
+        for midx in np.unique(fm_pts):
+            mask = fm_pts == midx
+            mat = mats[midx] if midx < len(mats) else None
+            if mat is not None and mat.image is not None:
+                img = mat.image
+                h, w = img.shape[:2]
+                x = (u[mask] * (w - 1)).astype(np.int32)
+                y = ((1.0 - v[mask]) * (h - 1)).astype(np.int32)
+                rgb[mask] = img[y, x, :3].astype(np.uint8)
+            elif mat is not None and mat.rgba is not None:
+                rgb[mask] = np.asarray(mat.rgba, np.uint8)[:3]
 
     unresolved = np.all(rgb == GRAY, axis=1)
 
@@ -271,11 +349,61 @@ def sample_piece_points_with_color(piece: MeshPiece, n: int,
         rgb[unresolved] = blend.astype(np.uint8)
         unresolved = np.all(rgb == GRAY, axis=1)
 
-    # C) material Kd
-    if unresolved.any() and piece.material_rgba is not None:
-        rgb[unresolved] = np.asarray(piece.material_rgba[:3], np.uint8)
+    # C) per-face Kd via materials + face_materials (make_dataset.py:388-391)
+    if unresolved.any():
+        fc_mtl = face_rgba_from_materials(piece)
+        if fc_mtl is not None:
+            rgb[unresolved] = fc_mtl[fidx[unresolved], :3]
 
     return pts, rgb
+
+
+def bake_piece_colors(piece: MeshPiece) -> Optional[np.ndarray]:
+    """Per-face RGBA for GLB export, baking the piece's appearance
+    (the reference's glb_bake path, make_dataset.py:545-562: texture ->
+    colors, else per-face Kd).  Priority: per-face-material texture lookup
+    at the face centroid UV -> existing face_colors -> vertex_colors
+    (averaged) -> per-face Kd -> gray."""
+    f = piece.faces
+    if len(f) == 0:
+        return None
+    mats, face_mats = _piece_materials(piece)
+    fc = np.tile(np.array([180, 180, 180, 255], np.uint8), (len(f), 1))
+    resolved = np.zeros(len(f), bool)
+    if piece.uv is not None and mats is not None:
+        uv_c = piece.uv[f].mean(axis=1)                 # (F, 2) centroid UV
+        u = np.mod(uv_c[:, 0], 1.0)
+        v = np.mod(uv_c[:, 1], 1.0)
+        for midx in np.unique(face_mats):
+            mask = face_mats == midx
+            mat = mats[midx] if midx < len(mats) else None
+            if mat is not None and mat.image is not None:
+                img = mat.image
+                h, w = img.shape[:2]
+                x = (u[mask] * (w - 1)).astype(np.int32)
+                y = ((1.0 - v[mask]) * (h - 1)).astype(np.int32)
+                fc[mask, :3] = img[y, x, :3]
+                resolved[mask] = True
+            elif mat is not None and mat.rgba is not None:
+                fc[mask] = np.asarray(mat.rgba, np.uint8)[:4]
+                resolved[mask] = True
+    if not resolved.all() and piece.face_colors is not None \
+            and len(piece.face_colors) == len(f):
+        sel = ~resolved
+        fc[sel, :3] = np.asarray(piece.face_colors, np.uint8)[sel, :3]
+        resolved[sel] = True
+    if not resolved.all() and piece.vertex_colors is not None \
+            and len(piece.vertex_colors) == len(piece.vertices):
+        sel = ~resolved
+        vc = np.asarray(piece.vertex_colors, np.float32)[:, :3]
+        fc[sel, :3] = vc[f[sel]].mean(axis=1).astype(np.uint8)
+        resolved[sel] = True
+    if not resolved.all():
+        fm = face_rgba_from_materials(piece)
+        if fm is not None:
+            sel = ~resolved
+            fc[sel] = fm[sel]
+    return fc
 
 
 def allocate_points(areas: np.ndarray, total_points: int) -> np.ndarray:

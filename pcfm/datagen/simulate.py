@@ -23,10 +23,11 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from pcfm.data.ply import save_point_cloud_ply_rgb
-from pcfm.datagen.core import (MeshPiece, build_per_joint_grids,
-                               choose_anno_id, parse_steps_override,
-                               random_combinations, row_get_category,
-                               sample_model_points_colored)
+from pcfm.datagen.core import (Material, MeshPiece, bake_piece_colors,
+                               build_per_joint_grids, choose_anno_id,
+                               material_color_to_rgba255,
+                               parse_steps_override, random_combinations,
+                               row_get_category, sample_model_points_colored)
 
 
 @dataclass
@@ -146,24 +147,36 @@ def _trimesh_to_piece(mesh) -> Optional[MeshPiece]:
     vis = getattr(mesh, "visual", None)
     if vis is None:
         return piece
-    if getattr(vis, "kind", "") == "texture" \
-            and getattr(vis, "uv", None) is not None:
-        piece.uv = np.asarray(vis.uv, np.float64)
-        mtl = getattr(vis, "material", None)
-        img = getattr(mtl, "image", None) if mtl is not None else None
-        if img is not None:
-            piece.texture = np.asarray(img.convert("RGBA"))
-        kd = None
-        for attr in ("main_color", "diffuse"):
-            kd = getattr(mtl, attr, None) if mtl is not None else None
-            if kd is not None:
-                break
-        if kd is not None:
-            kd = np.asarray(kd).reshape(-1)
-            if kd.dtype.kind == "f":
-                kd = (np.clip(kd, 0, 1) * 255).astype(np.uint8)
-            piece.material_rgba = kd[:4] if kd.size >= 4 else \
-                np.concatenate([kd[:3], [255]]).astype(np.uint8)
+    if getattr(vis, "kind", "") == "texture":
+        uv = getattr(vis, "uv", None)
+        if uv is not None:
+            piece.uv = np.asarray(uv, np.float64)
+        # material LIST + per-face material index (mixed materials,
+        # make_dataset.py:318-346)
+        mats = getattr(vis, "material", None)
+        mat_list = (list(mats) if isinstance(mats, (list, tuple, np.ndarray))
+                    else ([mats] if mats is not None else []))
+        materials: List[Material] = []
+        for mtl in mat_list:
+            img = None
+            try:
+                pil = getattr(mtl, "image", None)
+                if pil is not None:
+                    img = np.asarray(pil.convert("RGBA"))
+            except Exception:
+                img = None
+            kd = None
+            for attr in ("main_color", "diffuse", "Kd", "ambient", "Ka"):
+                kd = getattr(mtl, attr, None) if mtl is not None else None
+                if kd is not None:
+                    break
+            materials.append(Material(image=img,
+                                      rgba=material_color_to_rgba255(kd)))
+        if materials:
+            piece.materials = materials
+            fm = getattr(vis, "face_materials", None)
+            if fm is not None and len(fm) == len(f):
+                piece.face_materials = np.asarray(fm, np.int64)
     else:
         fc = getattr(vis, "face_colors", None)
         if fc is not None and len(fc) == len(f):
@@ -172,6 +185,28 @@ def _trimesh_to_piece(mesh) -> Optional[MeshPiece]:
         if vc is not None and len(vc) == len(v):
             piece.vertex_colors = np.asarray(vc, np.uint8)
     return piece
+
+
+def export_glb(pieces: List[MeshPiece], path: Path) -> bool:
+    """Write the assembled world mesh as ``mesh.glb``
+    (make_dataset.py:534-564).  Appearance is baked to per-face colors
+    (the reference's glb_bake branch) because MeshPiece stores decoded
+    arrays, not live trimesh materials."""
+    import trimesh
+    meshes = []
+    for piece in pieces:
+        if piece.is_empty:
+            continue
+        m = trimesh.Trimesh(vertices=piece.vertices, faces=piece.faces,
+                            process=False)
+        fc = bake_piece_colors(piece)
+        if fc is not None:
+            m.visual = trimesh.visual.ColorVisuals(mesh=m, face_colors=fc)
+        meshes.append(m)
+    if not meshes:
+        return False
+    trimesh.Scene(meshes).export(str(path))
+    return True
 
 
 def world_mesh_pieces(p, body_id: int, urdf_dir: Path) -> List[MeshPiece]:
@@ -227,6 +262,12 @@ def process_one_combo(p, body_id: int, urdf_dir: Path,
     if not pieces:
         return False
     pose_dir.mkdir(parents=True, exist_ok=True)
+
+    if cfg.glb_export:
+        try:
+            export_glb(pieces, pose_dir / "mesh.glb")
+        except Exception as e:
+            print(f"[WARN] mesh.glb export failed: {e}", file=sys.stderr)
 
     pts, rgb = sample_model_points_colored(
         pieces, cfg.points_per_pose, method=cfg.point_sampling,

@@ -182,6 +182,10 @@ def train(cfg: Config, verbose: bool = True) -> dict:
                            val_batch, ep, rng, rank, verbose)
 
     ckpt.wait_for_saves()
+    if rank == 0 and cfg.keep_last_ckpts > 0:
+        # async saves GC one behind (the in-flight dir only counts once
+        # committed); a final pass enforces exactly K on disk
+        ckpt.gc_old(cfg.out_dir, cfg.keep_last_ckpts)
     return {"epochs_run": cfg.epochs - start_epoch + 1, **last_metrics}
 
 

@@ -101,6 +101,68 @@ def test_color_priority_material_and_gray():
     assert np.all(rgb2 == [180, 180, 180])
 
 
+def test_color_multi_material_mixed():
+    """One textured material + one Kd-only material, routed per face
+    (make_dataset.py:318-360 mixed-material path)."""
+    from pcfm.datagen.core import Material
+    tex = np.zeros((4, 4, 4), np.uint8)
+    tex[..., 1] = 150  # green texture
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float)
+    mats = [Material(image=tex), Material(rgba=np.array([9, 8, 7, 255],
+                                                        np.uint8))]
+    sq = unit_square(uv=uv, materials=mats,
+                     face_materials=np.array([0, 1]))
+    pts, rgb = sample_piece_points_with_color(sq, 200,
+                                              rng=np.random.RandomState(0))
+    got = set(map(tuple, rgb))
+    assert (0, 150, 0) in got and (9, 8, 7) in got
+    assert got <= {(0, 150, 0), (9, 8, 7)}
+
+
+def test_face_rgba_from_materials_no_uv():
+    """Multi-material mesh WITHOUT texture/UV -> per-face Kd (path C,
+    make_dataset.py:223-254)."""
+    from pcfm.datagen.core import Material, face_rgba_from_materials
+    mats = [Material(rgba=np.array([255, 0, 0, 255], np.uint8)),
+            Material(rgba=np.array([0, 0, 255, 255], np.uint8))]
+    sq = unit_square(materials=mats, face_materials=np.array([0, 1]))
+    fc = face_rgba_from_materials(sq)
+    np.testing.assert_array_equal(fc[0], [255, 0, 0, 255])
+    np.testing.assert_array_equal(fc[1], [0, 0, 255, 255])
+    _, rgb = sample_piece_points_with_color(sq, 100,
+                                            rng=np.random.RandomState(0))
+    assert set(map(tuple, rgb)) <= {(255, 0, 0), (0, 0, 255)}
+
+
+def test_bake_piece_colors():
+    from pcfm.datagen.core import Material, bake_piece_colors
+    tex = np.zeros((4, 4, 4), np.uint8)
+    tex[..., 0] = 99
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float)
+    mats = [Material(image=tex), Material(rgba=np.array([1, 2, 3, 255],
+                                                        np.uint8))]
+    sq = unit_square(uv=uv, materials=mats,
+                     face_materials=np.array([0, 1]))
+    fc = bake_piece_colors(sq)
+    np.testing.assert_array_equal(fc[0], [99, 0, 0, 255])
+    np.testing.assert_array_equal(fc[1], [1, 2, 3, 255])
+    # colorless mesh -> gray
+    fc2 = bake_piece_colors(unit_square())
+    np.testing.assert_array_equal(fc2[0], [180, 180, 180, 255])
+
+
+def test_material_color_to_rgba255():
+    from pcfm.datagen.core import material_color_to_rgba255
+    np.testing.assert_array_equal(
+        material_color_to_rgba255([1.0, 0.5, 0.0]),
+        [255, 127, 0, 255])
+    np.testing.assert_array_equal(
+        material_color_to_rgba255(np.array([10, 20, 30, 40])),
+        [10, 20, 30, 40])
+    assert material_color_to_rgba255(None) is None
+    assert material_color_to_rgba255([0.5]) is None
+
+
 def test_allocate_points_area_weighted():
     alloc = allocate_points(np.array([1.0, 3.0]), 100)
     assert alloc.sum() == 100
