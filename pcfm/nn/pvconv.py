@@ -23,6 +23,7 @@ from pcfm.nn.shared_mlp import SharedMLP
 from pcfm.ops.voxel import (DENSE_R3_MAX, avg_voxelize, avg_voxelize_dense,
                             normalize_coords, trilinear_devoxelize,
                             trilinear_devoxelize_dense)
+from pcfm.parallel.sp_context import sp_mesh_for
 
 
 def _use_dense(resolution: int) -> bool:
@@ -41,9 +42,19 @@ class Voxelization(nn.Module):
     eps: float = 0.0
 
     def __call__(self, features, coords):
+        # normalize_coords reduces over the FULL point axis (per-cloud mean
+        # + max norm) so it stays OUTSIDE any shard_map: GSPMD derives the
+        # cheap psum/pmax for the sharded reductions
         norm_coords, vox_coords = normalize_coords(
             coords, self.resolution, normalize=self.normalize, eps=self.eps)
-        if _use_dense(self.resolution):
+        mesh = sp_mesh_for(features.shape[0], features.shape[1])
+        if mesh is not None:
+            # sequence parallel: local scatter + psum(grid) — avoids the
+            # GSPMD point-axis all-gather around the scatter
+            from pcfm.parallel.sp_ops import shmap_avg_voxelize
+            grid = shmap_avg_voxelize(mesh, features, vox_coords,
+                                      self.resolution)
+        elif _use_dense(self.resolution):
             # model path: DEFAULT precision (bf16 multiplies, f32 accum) —
             # counts stay exact; ~2x faster than HIGHEST on the MXU
             grid = avg_voxelize_dense(features, vox_coords, self.resolution,
@@ -83,7 +94,12 @@ class PVConv(nn.Module):
         if self.with_se:
             grid = SE3d(self.out_channels, dtype=self.dtype, name="se")(grid)
 
-        if _use_dense(r):
+        mesh = sp_mesh_for(norm_coords.shape[0], norm_coords.shape[1])
+        if mesh is not None:
+            from pcfm.parallel.sp_ops import shmap_trilinear_devoxelize
+            voxel_features = shmap_trilinear_devoxelize(mesh, grid,
+                                                        norm_coords, r)
+        elif _use_dense(r):
             voxel_features = trilinear_devoxelize_dense(
                 grid, norm_coords, r, precision=jax.lax.Precision.DEFAULT,
                 w_dtype=jnp.bfloat16)

@@ -52,6 +52,41 @@ def sp_global_max_local(h: jax.Array, axis_name: str = "points"):
     return jax.lax.pmax(jnp.max(h, axis=1), axis_name)
 
 
+def sp_trilinear_devoxelize_local(grid: jax.Array, norm_coords: jax.Array,
+                                  resolution: int):
+    """Shard-local devoxelize: the grid is replicated over 'points', each
+    shard gathers ITS OWN points — no collective in forward; the backward
+    scatter of the replicated grid input gets the psum from shard_map's
+    transpose automatically."""
+    from pcfm.ops.voxel import trilinear_devoxelize
+    return trilinear_devoxelize(grid, norm_coords, resolution)
+
+
+def shmap_avg_voxelize(mesh: Mesh, features: jax.Array,
+                       vox_coords: jax.Array, resolution: int) -> jax.Array:
+    """shard_map avg_voxelize for use INSIDE a jitted model: local scatter
+    + psum(grid) instead of GSPMD's point-axis all-gather."""
+    fn = functools.partial(sp_avg_voxelize_local, resolution=resolution)
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("data", "points", None), P("data", "points", None)),
+        out_specs=P("data", None, None, None, None))(features, vox_coords)
+
+
+def shmap_trilinear_devoxelize(mesh: Mesh, grid: jax.Array,
+                               norm_coords: jax.Array,
+                               resolution: int) -> jax.Array:
+    """shard_map trilinear_devoxelize: replicated grid in, point-sharded
+    output; backward = local scatter + psum (from the transpose)."""
+    fn = functools.partial(sp_trilinear_devoxelize_local,
+                           resolution=resolution)
+    return jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("data", None, None, None, None),
+                  P("data", "points", None)),
+        out_specs=P("data", "points", None))(grid, norm_coords)
+
+
 def make_sp_voxelize(mesh: Mesh, resolution: int,
                      axis_name: str = "points"):
     """Build a shard_map-wrapped avg_voxelize: inputs sharded (B over

@@ -68,6 +68,8 @@ def train(cfg: Config, verbose: bool = True) -> dict:
     dp, sp = auto_mesh_sizes(cfg.batch_size, cfg.tr_max_sample_points,
                              cfg.dp, cfg.sp)
     mesh = make_mesh(dp, sp)
+    from pcfm.parallel.sp_context import set_sp_mesh
+    set_sp_mesh(mesh)
     world = jax.process_count()
     train_loader = DataLoader(tr_ds, cfg.batch_size, shuffle=True,
                               drop_last=True, seed=cfg.seed,

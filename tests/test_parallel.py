@@ -130,6 +130,60 @@ def test_sp_global_max_matches_global():
                                atol=1e-6)
 
 
+def test_sp_context_hybrid_step_parity():
+    """With the sp mesh context set, PVConv routes vox/devox through
+    shard_map (local scatter + psum); the step must match the GSPMD path."""
+    from pcfm.parallel.sp_context import set_sp_mesh
+    cfg = tiny_cfg(pf_backbone="hybrid", ctx_dim=8, ctx_emb_dim=16,
+                   ctx_stage_channels=[8], ctx_stage_blocks=[1],
+                   ctx_stage_res=[4], dp=2, sp=4)
+    bundle, state0, tx = init_state(cfg, jax.random.PRNGKey(0), 100)
+    batch = _batch(jax.random.PRNGKey(1), b=4, n=32)
+    rng = jax.random.PRNGKey(2)
+    c1, d1 = jnp.float32(1.0), jnp.float32(0.0)
+    mesh = make_mesh(2, 4)
+    batch_sh = shard_batch(batch, mesh)
+
+    step_ref = make_train_step(bundle, tx, donate=False)
+    s_ref, m_ref = step_ref(replicate_state(state0, mesh), batch_sh, rng,
+                            c1, d1)
+
+    set_sp_mesh(mesh)
+    try:
+        step_sp = make_train_step(bundle, tx, donate=False)
+        s_sp, m_sp = step_sp(replicate_state(state0, mesh), batch_sh, rng,
+                             c1, d1)
+    finally:
+        set_sp_mesh(None)
+    # GSPMD path uses the dense bf16 one-hot at R=4, the sp path the f32
+    # segment-sum — identical semantics, small dtype wiggle allowed
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_sp["loss"]),
+                               rtol=5e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_sp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
+                                   atol=2e-3)
+
+
+def test_shmap_voxelize_no_point_allgather():
+    """The explicit shard_map scatter must compile to psum (all-reduce)
+    with NO all-gather of the point axis (the GSPMD scatter's failure
+    mode this path exists to avoid)."""
+    from pcfm.ops.voxel import normalize_coords
+    from pcfm.parallel.sp_ops import shmap_avg_voxelize
+    mesh = make_mesh(2, 4)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 6))
+    pts = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 3))
+    _, voxc = normalize_coords(pts, 4)
+    sh = batch_sharding(mesh)
+
+    fn = jax.jit(lambda f, v: shmap_avg_voxelize(mesh, f, v, 4),
+                 in_shardings=(sh, sh))
+    txt = fn.lower(feats, voxc).compile().as_text()
+    assert "all-reduce" in txt
+    assert "all-gather" not in txt
+
+
 def test_sharded_hybrid_matches_single_device():
     cfg = tiny_cfg(pf_backbone="hybrid", ctx_dim=8, ctx_emb_dim=16,
                    ctx_stage_channels=[8], ctx_stage_blocks=[1],
