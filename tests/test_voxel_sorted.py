@@ -1,0 +1,142 @@
+"""Sorted-window voxel op parity vs the reference-semantics XLA ops
+(interpret mode on CPU; compiled path measured on TPU in bench)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcfm.ops.voxel import (avg_voxelize, flatten_voxel_ids,
+                            normalize_coords, trilinear_devoxelize)
+from pcfm.ops.voxel_sorted import (avg_voxelize_sorted, counts_sorted,
+                                   permute_points, sort_perm_by_voxel,
+                                   trilinear_devoxelize_sorted,
+                                   unpermute_points)
+
+
+def _setup(b=2, n=500, c=64, r=8, seed=0, sort=True):
+    key = jax.random.PRNGKey(seed)
+    pts = jax.random.normal(key, (b, n, 3))
+    nc, vc = normalize_coords(pts, r)
+    ids = flatten_voxel_ids(vc, r)
+    if sort:
+        perm = jnp.argsort(ids, axis=1)
+        nc = jnp.take_along_axis(nc, perm[..., None], axis=1)
+        vc = jnp.take_along_axis(vc, perm[..., None], axis=1)
+        ids = jnp.take_along_axis(ids, perm, axis=1)
+    feats = jax.random.normal(jax.random.PRNGKey(seed + 1), (b, n, c))
+    return pts, nc, vc, ids, feats
+
+
+def test_counts_sorted_matches_bincount():
+    _, _, _, ids, _ = _setup()
+    cnt = np.asarray(counts_sorted(ids, 512))
+    for b in range(ids.shape[0]):
+        want = np.bincount(np.asarray(ids)[b], minlength=512)
+        np.testing.assert_array_equal(cnt[b], want)
+
+
+def test_avg_voxelize_sorted_matches_reference():
+    _, _, vc, ids, feats = _setup()
+    want = np.asarray(avg_voxelize(feats, vc, 8)).reshape(2, 512, 64)
+    got = np.asarray(avg_voxelize_sorted(feats, ids, 8, True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_avg_voxelize_sorted_grad_matches():
+    _, _, vc, ids, feats = _setup(n=260)
+
+    def f_ref(f):
+        return jnp.sum(avg_voxelize(f, vc, 8) ** 2)
+
+    def f_new(f):
+        return jnp.sum(avg_voxelize_sorted(f, ids, 8, True) ** 2)
+
+    g_ref = np.asarray(jax.grad(f_ref)(feats))
+    g_new = np.asarray(jax.grad(f_new)(feats))
+    np.testing.assert_allclose(g_new, g_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_devoxelize_sorted_matches_reference():
+    _, nc, _, _, _ = _setup()
+    grid = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 8, 8, 64))
+    want = np.asarray(trilinear_devoxelize(grid, nc, 8))
+    got = np.asarray(trilinear_devoxelize_sorted(
+        grid.reshape(2, 512, 64), nc, 8, True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_devoxelize_sorted_grad_matches():
+    _, nc, _, _, _ = _setup(n=260)
+    grid = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 8, 8, 64))
+
+    def f_ref(g):
+        return jnp.sum(trilinear_devoxelize(g, nc, 8) ** 3)
+
+    def f_new(g):
+        return jnp.sum(trilinear_devoxelize_sorted(
+            g.reshape(2, 512, 64), nc, 8, True) ** 3)
+
+    g_ref = np.asarray(jax.grad(f_ref)(grid)).reshape(2, 512, 64)
+    g_new = np.asarray(jax.grad(f_new)(grid)).reshape(2, 512, 64)
+    np.testing.assert_allclose(g_new, g_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_unsorted_points_still_correct():
+    """The window KERNELS derive coverage from per-tile min/max, so
+    arbitrary point order stays correct (just slower: more window passes).
+    Only the counts path (searchsorted) requires sorted ids — that is
+    `avg_voxelize_sorted`'s documented contract."""
+    from pcfm.ops.pallas.voxel_sorted import scatter_windows
+    _, nc, vc, ids, feats = _setup(sort=False)
+    # raw scatter sums, arbitrary order
+    sums = np.asarray(scatter_windows(
+        feats, ids[:, None, :], jnp.ones((2, 1, 500), jnp.float32), ids,
+        8, 256, interpret=True))
+    want = np.zeros((2, 512, 64), np.float32)
+    for b in range(2):
+        np.add.at(want[b], np.asarray(ids)[b], np.asarray(feats)[b])
+    np.testing.assert_allclose(sums, want, rtol=1e-4, atol=1e-4)
+    # devoxelize, arbitrary order
+    grid = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 8, 8, 64))
+    want2 = np.asarray(trilinear_devoxelize(grid, nc, 8))
+    got2 = np.asarray(trilinear_devoxelize_sorted(
+        grid.reshape(2, 512, 64), nc, 8, True))
+    np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-5)
+
+
+def test_edge_coords_boundary_collapse():
+    """Points exactly on voxel centers / the R-1 boundary exercise the
+    frac==0 corner collapse."""
+    r = 4
+    nc = jnp.asarray([[[0.0, 0.0, 0.0], [3.0, 3.0, 3.0], [1.5, 2.0, 3.0],
+                       [2.0, 2.0, 2.0]]])
+    grid = jax.random.normal(jax.random.PRNGKey(0), (1, r, r, r, 64))
+    want = np.asarray(trilinear_devoxelize(grid, nc, r))
+    got = np.asarray(trilinear_devoxelize_sorted(
+        grid.reshape(1, r ** 3, 64), nc, r, True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_permute_roundtrip_and_grad():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 40, 5))
+    pts = jax.random.normal(jax.random.PRNGKey(1), (2, 40, 3))
+    perm, inv = sort_perm_by_voxel(pts, 8)
+    y = permute_points(x, perm, inv)
+    back = unpermute_points(y, perm, inv)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=0)
+
+    def f(x):
+        return jnp.sum(permute_points(x, perm, inv) ** 2)
+
+    g = np.asarray(jax.grad(f)(x))
+    np.testing.assert_allclose(g, 2 * np.asarray(x), atol=1e-6)
+
+
+def test_odd_channel_padding():
+    """C not a multiple of 64 goes through the channel-pad path."""
+    _, _, vc, ids, _ = _setup(c=64)
+    feats = jax.random.normal(jax.random.PRNGKey(3), (2, 500, 17))
+    want = np.asarray(avg_voxelize(feats, vc, 8)).reshape(2, 512, 17)
+    got = np.asarray(avg_voxelize_sorted(feats, ids, 8, True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
