@@ -38,13 +38,17 @@ class PVBlock(nn.Module):
     gn_groups: int = 32
     voxel_normalize: bool = True
     eps: float = 1e-6
+    voxel_backend: str = "xla"
+    sorted_at_res: int = -1
 
     @nn.compact
     def __call__(self, f, c, emb, train: bool = True):
         f, c = PVConv(self.channels, kernel_size=3,
                       resolution=self.resolution, with_se=self.with_se,
                       normalize=self.voxel_normalize, eps=self.eps,
-                      dtype=jnp.float32, name="pvconv")(f, c, train=train)
+                      dtype=jnp.float32, voxel_backend=self.voxel_backend,
+                      sorted_at_res=self.sorted_at_res,
+                      name="pvconv")(f, c, train=train)
         f = SharedMLP(self.channels, dtype=jnp.float32,
                       name="post")(f, train=train)
         film = FiLM1d(self.channels, norm_type=self.norm_type,
@@ -62,6 +66,8 @@ class PVStage(nn.Module):
     norm_type: str = "group"
     gn_groups: int = 32
     voxel_normalize: bool = True
+    voxel_backend: str = "xla"
+    sorted_at_res: int = -1
 
     @nn.compact
     def __call__(self, f, c, emb, train: bool = True):
@@ -71,6 +77,8 @@ class PVStage(nn.Module):
             f, c = PVBlock(self.out_channels, self.resolution, self.with_se,
                            norm_type=self.norm_type, gn_groups=self.gn_groups,
                            voxel_normalize=self.voxel_normalize,
+                           voxel_backend=self.voxel_backend,
+                           sorted_at_res=self.sorted_at_res,
                            name=f"block_{i}")(f, c, emb, train=train)
         return f, c
 
@@ -91,6 +99,7 @@ class ContextNet(nn.Module):
     use_t_gate: bool = True
     t_gate_k: float = 10.0
     t_gate_tau: float = 0.4
+    voxel_backend: str = "xla"       # "xla" | "sorted" (see pvconv.py)
 
     @nn.compact
     def __call__(self, x, t, cond: Optional[jax.Array],
@@ -102,6 +111,23 @@ class ContextNet(nn.Module):
         out_dtype = x.dtype
         # ---- fp32 island from here on (models.py:513) ----
         x = x.astype(jnp.float32)
+
+        # sorted-window voxel backend: sort points ONCE by their stage-0
+        # voxel id (every op inside is permutation-equivariant) and invert
+        # at exit; the PVConv scatters/gathers then hit narrow id windows
+        # (pcfm/ops/pallas/voxel_sorted.py)
+        use_sorted = (self.voxel_backend == "sorted"
+                      and max(self.stage_res) ** 3 >= 4096)
+        perm = inv = None
+        if use_sorted:
+            from pcfm.ops.voxel_sorted import (permute_points,
+                                               sort_perm_by_voxel,
+                                               unpermute_points)
+            perm, inv = sort_perm_by_voxel(
+                x[..., :3], int(self.stage_res[0]),
+                normalize=self.voxel_normalize)
+            x = permute_points(x, perm, inv)
+
         coords = x[..., :3]
         t = t.reshape(b).astype(jnp.float32)
 
@@ -134,6 +160,9 @@ class ContextNet(nn.Module):
                            norm_type=self.norm_type,
                            gn_groups=self.gn_groups,
                            voxel_normalize=self.voxel_normalize,
+                           voxel_backend=(self.voxel_backend if use_sorted
+                                          else "xla"),
+                           sorted_at_res=int(self.stage_res[0]),
                            name=f"stage_{i}")(f, c, emb, train=train)
             ms_feats.append(f)
 
@@ -173,4 +202,7 @@ class ContextNet(nn.Module):
             ctx = alpha * ctx_pv + (1.0 - alpha) * ctx_glb
         else:
             ctx = ctx_pv
+        if use_sorted:
+            from pcfm.ops.voxel_sorted import unpermute_points
+            ctx = unpermute_points(ctx, perm, inv)
         return ctx.astype(out_dtype)

@@ -43,6 +43,7 @@ class HybridMLP(nn.Module):
     pf_emb_dim: int = 256
     cfg_dropout_p: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    voxel_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, t, cond: Optional[jax.Array],
@@ -63,7 +64,8 @@ class HybridMLP(nn.Module):
             gn_groups=self.gn_groups, with_global=self.with_global,
             voxel_normalize=self.voxel_normalize,
             use_t_gate=self.use_t_gate, t_gate_k=self.t_gate_k,
-            t_gate_tau=self.t_gate_tau, name="ctx_net",
+            t_gate_tau=self.t_gate_tau,
+            voxel_backend=self.voxel_backend, name="ctx_net",
         )(x, t, cond_eff if self.cond_dim > 0 else None, train=train)
 
         v = VelocityNetWithContext(

@@ -21,13 +21,29 @@ from flax import linen as nn
 from pcfm.nn.se import SE3d
 from pcfm.nn.shared_mlp import SharedMLP
 from pcfm.ops.voxel import (DENSE_R3_MAX, avg_voxelize, avg_voxelize_dense,
-                            normalize_coords, trilinear_devoxelize,
+                            flatten_voxel_ids, normalize_coords,
+                            trilinear_devoxelize,
                             trilinear_devoxelize_dense)
 from pcfm.parallel.sp_context import sp_mesh_for
+
+# grids at or above this size route through the sorted-window Pallas
+# kernels when the backend is "sorted" (below it the dense MXU one-hot is
+# already fast); the sorted kernels run in interpret mode off-TPU so the
+# same code path is testable on CPU
+SORTED_R3_MIN = 4096
 
 
 def _use_dense(resolution: int) -> bool:
     return resolution ** 3 <= DENSE_R3_MAX
+
+
+def _use_sorted(backend: str, resolution: int, b: int, n: int) -> bool:
+    return (backend == "sorted" and resolution ** 3 >= SORTED_R3_MIN
+            and sp_mesh_for(b, n) is None)
+
+
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
 
 
 class Voxelization(nn.Module):
@@ -40,6 +56,8 @@ class Voxelization(nn.Module):
     resolution: int
     normalize: bool = True
     eps: float = 0.0
+    voxel_backend: str = "xla"       # "xla" | "sorted"
+    sorted_at_res: int = -1          # resolution the points were sorted at
 
     def __call__(self, features, coords):
         # normalize_coords reduces over the FULL point axis (per-cloud mean
@@ -47,6 +65,16 @@ class Voxelization(nn.Module):
         # cheap psum/pmax for the sharded reductions
         norm_coords, vox_coords = normalize_coords(
             coords, self.resolution, normalize=self.normalize, eps=self.eps)
+        if _use_sorted(self.voxel_backend, self.resolution,
+                       features.shape[0], features.shape[1]):
+            from pcfm.ops.voxel_sorted import avg_voxelize_sorted
+            r = self.resolution
+            ids = flatten_voxel_ids(vox_coords, r)
+            grid = avg_voxelize_sorted(
+                features, ids, r, _interp(),
+                self.resolution == self.sorted_at_res)
+            b, _, c = features.shape
+            return grid.reshape(b, r, r, r, c), norm_coords
         mesh = sp_mesh_for(features.shape[0], features.shape[1])
         if mesh is not None:
             # sequence parallel: local scatter + psum(grid) — avoids the
@@ -73,12 +101,16 @@ class PVConv(nn.Module):
     normalize: bool = True
     eps: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    voxel_backend: str = "xla"
+    sorted_at_res: int = -1
 
     @nn.compact
     def __call__(self, features, coords, train: bool = True):
         """features (B,N,C), coords (B,N,3) -> (fused (B,N,out), coords)."""
         r = self.resolution
-        vox = Voxelization(r, normalize=self.normalize, eps=self.eps)
+        vox = Voxelization(r, normalize=self.normalize, eps=self.eps,
+                           voxel_backend=self.voxel_backend,
+                           sorted_at_res=self.sorted_at_res)
         grid, norm_coords = vox(features, coords)                   # NDHWC
 
         k = self.kernel_size
@@ -94,8 +126,14 @@ class PVConv(nn.Module):
         if self.with_se:
             grid = SE3d(self.out_channels, dtype=self.dtype, name="se")(grid)
 
-        mesh = sp_mesh_for(norm_coords.shape[0], norm_coords.shape[1])
-        if mesh is not None:
+        if _use_sorted(self.voxel_backend, r, norm_coords.shape[0],
+                       norm_coords.shape[1]):
+            from pcfm.ops.voxel_sorted import trilinear_devoxelize_sorted
+            b = grid.shape[0]
+            voxel_features = trilinear_devoxelize_sorted(
+                grid.reshape(b, r * r * r, -1), norm_coords, r, _interp())
+        elif (mesh := sp_mesh_for(norm_coords.shape[0],
+                                  norm_coords.shape[1])) is not None:
             from pcfm.parallel.sp_ops import shmap_trilinear_devoxelize
             voxel_features = shmap_trilinear_devoxelize(mesh, grid,
                                                         norm_coords, r)

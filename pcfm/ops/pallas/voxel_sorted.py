@@ -165,17 +165,11 @@ def _tile_meta(base_pad: jax.Array, w_rows: int,
     return start.astype(jnp.int32), n_pass.astype(jnp.int32)
 
 
-def _block_c(c: int, r3_pad: int, budget_bytes: int = 20 * 2 ** 20) -> int:
-    """Channel block: Mosaic requires the minor block dim to be a multiple
-    of 128 (or the full dimension), so cb is c itself when c <= 128 and
-    otherwise the largest 128-multiple divisor of c whose (r3_pad, cb)
-    grid block fits the VMEM budget."""
-    if c <= 128:
-        return c
-    cb = c
-    while cb > 128 and (r3_pad * cb * 4 > budget_bytes or cb % 128):
-        cb //= 2
-    return max(cb, 128)
+def _block_c(c: int, r3_pad: int) -> int:
+    """Channel block: c itself up to 128 (full-dim minor blocks are always
+    legal), else exactly 128 — wider minor dims crash the remote Mosaic
+    compiler (measured: c=256 blocks HTTP-500 consistently, 128 compile)."""
+    return c if c <= 128 else 128
 
 
 def _prep(ids, weights, base_ids, n_pad, k, bsz):

@@ -59,12 +59,20 @@ def counts_sorted(ids_sorted: jax.Array, r3: int) -> jax.Array:
     return jax.vmap(one)(ids_sorted)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def avg_voxelize_sorted(features: jax.Array, ids_sorted: jax.Array,
-                        resolution: int, interpret: bool = False):
-    """Scatter-mean features (B, N, C) into a flat grid (B, R^3, C); ids
-    must be SORTED flat voxel ids (B, N) (counts use searchsorted)."""
-    grid, _ = _avg_vox_fwd_impl(features, ids_sorted, resolution, interpret)
+                        resolution: int, interpret: bool = False,
+                        contiguous: bool = True):
+    """Scatter-mean features (B, N, C) into a flat grid (B, R^3, C).
+
+    ``contiguous=True``: equal ids form contiguous runs (points sorted at
+    THIS resolution) — per-point inverse counts come from three VPU scans.
+    ``contiguous=False``: ids only roughly sorted (e.g. a coarser stage
+    under the stage-0 sort order) — counts go through a tiny scatter-ones/
+    gather kernel pair instead.
+    """
+    grid, _ = _avg_vox_fwd_impl(features, ids_sorted, resolution, interpret,
+                                contiguous)
     return grid
 
 
@@ -88,10 +96,27 @@ def inv_counts_per_point(ids_sorted: jax.Array) -> jax.Array:
     return 1.0 / cnt
 
 
-def _avg_vox_fwd_impl(features, ids_sorted, r, interpret):
+def inv_counts_windowed(ids: jax.Array, r: int, w: int,
+                        interpret: bool = False) -> jax.Array:
+    """Per-point inverse voxel occupancy for ROUGHLY-sorted ids: scatter
+    ones into an 8-lane grid, gather back.  Counts are exact (one-hot x
+    1.0 in bf16 is exact, f32 accumulate)."""
+    b, n = ids.shape
+    ones8 = jnp.ones((b, n, 8), jnp.float32)
+    onesw = jnp.ones((b, 1, n), jnp.float32)
+    cnt_grid = scatter_windows(ones8, ids[:, None, :], onesw, ids, r, w,
+                               precision=DOT_PRECISION, interpret=interpret)
+    cnt_pt = gather_windows(cnt_grid, ids[:, None, :], onesw, ids, r, w,
+                            precision=DOT_PRECISION,
+                            interpret=interpret)[..., 0]
+    return 1.0 / jnp.maximum(cnt_pt, 1.0)
+
+
+def _avg_vox_fwd_impl(features, ids_sorted, r, interpret, contiguous=True):
     b, n, c = features.shape
     w = pick_window(r, n)
-    inv_pt = inv_counts_per_point(ids_sorted)               # (B, N)
+    inv_pt = (inv_counts_per_point(ids_sorted) if contiguous
+              else inv_counts_windowed(ids_sorted, r, w, interpret))
     # mean[v] = sum_n f_n / cnt_v  ==  scatter with weight 1/cnt_{v(n)}
     fp = _pad_c(features)
     grid = scatter_windows(fp, ids_sorted[:, None, :], inv_pt[:, None, :],
@@ -100,13 +125,14 @@ def _avg_vox_fwd_impl(features, ids_sorted, r, interpret):
     return grid, inv_pt
 
 
-def _avg_vox_fwd(features, ids_sorted, r, interpret):
-    grid, inv_pt = _avg_vox_fwd_impl(features, ids_sorted, r, interpret)
+def _avg_vox_fwd(features, ids_sorted, r, interpret, contiguous=True):
+    grid, inv_pt = _avg_vox_fwd_impl(features, ids_sorted, r, interpret,
+                                     contiguous)
     # zero-size array carries the primal dtype through the residuals
     return grid, (ids_sorted, inv_pt, jnp.zeros((0,), features.dtype))
 
 
-def _avg_vox_bwd(r, interpret, res, g):
+def _avg_vox_bwd(r, interpret, contiguous, res, g):
     ids_sorted, inv_pt, dtype_probe = res
     dtype = dtype_probe.dtype
     b, n = ids_sorted.shape

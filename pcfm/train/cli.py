@@ -127,6 +127,8 @@ def build_parser() -> argparse.ArgumentParser:
     flag("--amp", action="store_true", default=d.amp)
     flag("--no_amp", dest="amp", action="store_false")
     flag("--use_bf16", action="store_true", default=d.use_bf16)
+    flag("--voxel_backend", type=str, default=d.voxel_backend,
+         choices=["auto", "xla", "sorted"])
     flag("--dp", type=int, default=d.dp)
     flag("--sp", type=int, default=d.sp)
     return p

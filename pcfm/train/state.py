@@ -29,6 +29,16 @@ class TrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray    # int32 global step
 
 
+def resolve_voxel_backend(flag: str) -> str:
+    """"auto" -> the sorted-window Pallas kernels on TPU, XLA elsewhere
+    (off-TPU the sorted path would run in interpret mode — correct but
+    slow, so it must be requested explicitly)."""
+    if flag == "auto":
+        import jax as _jax
+        return "sorted" if _jax.default_backend() == "tpu" else "xla"
+    return flag
+
+
 class ModelBundle:
     """Static (non-pytree) bundle of flax modules built from a Config."""
 
@@ -60,7 +70,8 @@ class ModelBundle:
                 t_gate_tau=cfg.ctx_t_gate_tau,
                 pf_width=cfg.pf_width, pf_depth=cfg.pf_depth,
                 pf_emb_dim=cfg.pf_emb_dim, cfg_dropout_p=cfg.cfg_drop_p,
-                dtype=dtype)
+                dtype=dtype, voxel_backend=resolve_voxel_backend(
+                    cfg.voxel_backend))
             self.pf_has_bn = True
         else:
             raise ValueError(f"unknown pf_backbone '{cfg.pf_backbone}'")

@@ -104,6 +104,25 @@ def test_unsorted_points_still_correct():
     np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-5)
 
 
+def test_avg_voxelize_noncontiguous_counts():
+    """contiguous=False: equal ids need not form runs (a coarser stage
+    under the stage-0 sort) — windowed scatter-ones counts."""
+    _, _, vc, ids, feats = _setup(sort=False)
+    want = np.asarray(avg_voxelize(feats, vc, 8)).reshape(2, 512, 64)
+    got = np.asarray(avg_voxelize_sorted(feats, ids, 8, True, False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def f_new(f):
+        return jnp.sum(avg_voxelize_sorted(f, ids, 8, True, False) ** 2)
+
+    def f_ref(f):
+        return jnp.sum(avg_voxelize(f, vc, 8) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(f_new)(feats)),
+                               np.asarray(jax.grad(f_ref)(feats)),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_edge_coords_boundary_collapse():
     """Points exactly on voxel centers / the R-1 boundary exercise the
     frac==0 corner collapse."""
@@ -131,6 +150,40 @@ def test_permute_roundtrip_and_grad():
 
     g = np.asarray(jax.grad(f)(x))
     np.testing.assert_allclose(g, 2 * np.asarray(x), atol=1e-6)
+
+
+def test_contextnet_sorted_backend_matches_xla():
+    """Full ContextNet with voxel_backend='sorted' (entry sort + sorted
+    PVConv kernels in interpret mode + exit unsort) must match the XLA
+    backend — forward and input-gradient."""
+    from pcfm.models.context import ContextNet
+
+    kw = dict(in_point_dim=3, cond_dim=2, emb_dim=16, ctx_dim=8,
+              stage_channels=(8,), stage_blocks=(1,), stage_res=(16,),
+              with_se=False, norm_type="group", gn_groups=4,
+              with_global=True)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 300, 3))
+    t = jnp.asarray([0.3, 0.7])
+    cond = jax.random.normal(jax.random.PRNGKey(1), (2, 2))
+
+    net_x = ContextNet(voxel_backend="xla", **kw)
+    net_s = ContextNet(voxel_backend="sorted", **kw)
+    params = net_x.init(jax.random.PRNGKey(2), x, t, cond, train=False)
+
+    out_x = net_x.apply(params, x, t, cond, train=False)
+    out_s = net_s.apply(params, x, t, cond, train=False)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(net):
+        def f(xx):
+            return jnp.sum(net.apply(params, xx, t, cond, train=False) ** 2)
+        return f
+
+    g_x = np.asarray(jax.grad(loss(net_x))(x))
+    g_s = np.asarray(jax.grad(loss(net_s))(x))
+    np.testing.assert_allclose(g_s, g_x, rtol=1e-3, atol=1e-4)
 
 
 def test_odd_channel_padding():
