@@ -122,6 +122,7 @@ class Config:
     amp: bool = True                      # bf16 compute (fp32 params)
     use_bf16: bool = True
     voxel_backend: str = "auto"           # auto|xla|sorted (pvconv path)
+    fused_trunk: str = "auto"             # auto|on|off (pallas film_block)
     # ========== TPU parallelism ==========
     dp: int = -1                          # data-parallel size (-1: all devices)
     sp: int = 1                           # point-axis (sequence) parallel size

@@ -44,6 +44,7 @@ class HybridMLP(nn.Module):
     cfg_dropout_p: float = 0.1
     dtype: jnp.dtype = jnp.float32
     voxel_backend: str = "xla"
+    fused_trunk: str = "auto"         # auto|on|off (pallas film_block)
 
     @nn.compact
     def __call__(self, x, t, cond: Optional[jax.Array],
@@ -72,6 +73,6 @@ class HybridMLP(nn.Module):
             cond_dim=self.cond_dim, point_dim=self.point_dim,
             ctx_dim=self.ctx_dim, width=self.pf_width, depth=self.pf_depth,
             emb_dim=self.pf_emb_dim, cfg_dropout_p=self.cfg_dropout_p,
-            dtype=self.dtype, name="head",
+            dtype=self.dtype, fused_trunk=self.fused_trunk, name="head",
         )(x, t, cond, ctx, cond_drop_mask=cond_drop_mask)
         return v

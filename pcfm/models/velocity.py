@@ -25,6 +25,85 @@ from pcfm.nn.common import kaiming_normal, normal02
 from pcfm.nn.film import FiLMBlock
 
 
+class _NormParams(nn.Module):
+    """Parameter shell matching nn.LayerNorm's tree (scale, bias)."""
+    width: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.width,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.width,),
+                       jnp.float32)
+        return s, b
+
+
+class _FiLMShell(nn.Module):
+    """Parameter-compatible shell of FiLMBlock: creates the identical
+    param tree (norm/{scale,bias}, affine/{kernel,bias}) but returns the
+    raw (s, t, gamma, beta) for the fused kernel instead of applying."""
+    width: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, emb):
+        s, t = _NormParams(self.width, name="norm")()
+        affine = nn.Dense(2 * self.width, dtype=self.dtype,
+                          kernel_init=nn.initializers.lecun_normal(),
+                          bias_init=nn.initializers.zeros, name="affine")
+        gamma, beta = jnp.split(affine(emb), 2, axis=-1)
+        return s, t, gamma, beta
+
+
+class _DenseParams(nn.Module):
+    """Parameter shell matching nn.Dense's tree (kernel, bias)."""
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", kaiming_normal,
+                       (self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+def _trunk(mdl, h, emb, width, depth, dtype, fused: bool):
+    """The shared residual trunk: depth-1 x [FiLM -> h + Dense(silu(h))].
+
+    ``fused=True`` routes each block through the single-pass Pallas kernel
+    (pcfm/ops/pallas/film_block.py) with an IDENTICAL parameter tree, so
+    checkpoints and torch transplants are interchangeable between paths.
+    """
+    if fused:
+        from pcfm.ops.pallas.film_block import film_block
+        interp = jax.default_backend() != "tpu"
+        for i in range(depth - 1):
+            s, t, gamma, beta = _FiLMShell(width, dtype=dtype,
+                                           name=f"film_{i}")(emb)
+            w, b = _DenseParams(width, width, name=f"block_{i}")()
+            h = film_block(h, s, t, gamma, beta, w, b, interp)
+        return h
+    for i in range(depth - 1):
+        h = FiLMBlock(width, dtype=dtype, name=f"film_{i}")(h, emb)
+        blk = nn.Dense(width, dtype=dtype, kernel_init=kaiming_normal,
+                       bias_init=nn.initializers.zeros, name=f"block_{i}")
+        h = h + blk(nn.silu(h))
+    return h
+
+
+def _use_fused_trunk(flag: str, width: int) -> bool:
+    """"auto" resolves to OFF: measured on v5e (scripts/probe_film.py),
+    XLA already pipelines the trunk block into 4 fusions totalling
+    ~3.0 ms/block (dW GEMM at 85% MFU) and the single-pass kernel loses
+    (~4.8 ms fwd — VPU LN/silu serializes against the MXU dot).  Kept as
+    an opt-in for future Mosaic scheduling improvements."""
+    if flag != "on" or width % 128 != 0:
+        return False
+    return True
+
+
 class MLP(nn.Module):
     """Generic SiLU MLP with Kaiming init (reference models.py:40-59)."""
     out_dim: int
@@ -78,6 +157,7 @@ class VelocityNet(nn.Module):
     cfg_dropout_p: float = 0.1
     point_dim: int = 3
     dtype: jnp.dtype = jnp.float32
+    fused_trunk: str = "auto"         # auto|on|off (pallas film_block)
 
     @nn.compact
     def __call__(self, x, t, cond: Optional[jax.Array],
@@ -94,14 +174,8 @@ class VelocityNet(nn.Module):
             axis=-1)
         h = nn.Dense(self.width, dtype=self.dtype, kernel_init=kaiming_normal,
                      bias_init=nn.initializers.zeros, name="input")(h)
-        for i in range(self.depth - 1):
-            h = FiLMBlock(self.width, dtype=self.dtype,
-                          name=f"film_{i}")(h, emb)
-            blk = nn.Dense(self.width, dtype=self.dtype,
-                           kernel_init=kaiming_normal,
-                           bias_init=nn.initializers.zeros,
-                           name=f"block_{i}")
-            h = h + blk(nn.silu(h))
+        h = _trunk(self, h, emb, self.width, self.depth, self.dtype,
+                   _use_fused_trunk(self.fused_trunk, self.width))
         v = nn.Dense(self.point_dim, dtype=self.dtype,
                      kernel_init=kaiming_normal,
                      bias_init=nn.initializers.zeros,
@@ -119,6 +193,7 @@ class VelocityNetWithContext(nn.Module):
     emb_dim: int = 256
     cfg_dropout_p: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    fused_trunk: str = "auto"         # auto|on|off (pallas film_block)
 
     @nn.compact
     def __call__(self, x, t, cond: Optional[jax.Array], ctx,
@@ -136,14 +211,8 @@ class VelocityNetWithContext(nn.Module):
             axis=-1)
         h = nn.Dense(self.width, dtype=self.dtype, kernel_init=kaiming_normal,
                      bias_init=nn.initializers.zeros, name="input")(h)
-        for i in range(self.depth - 1):
-            h = FiLMBlock(self.width, dtype=self.dtype,
-                          name=f"film_{i}")(h, emb)
-            blk = nn.Dense(self.width, dtype=self.dtype,
-                           kernel_init=kaiming_normal,
-                           bias_init=nn.initializers.zeros,
-                           name=f"block_{i}")
-            h = h + blk(nn.silu(h))
+        h = _trunk(self, h, emb, self.width, self.depth, self.dtype,
+                   _use_fused_trunk(self.fused_trunk, self.width))
         v = nn.Dense(self.point_dim, dtype=self.dtype,
                      kernel_init=kaiming_normal,
                      bias_init=nn.initializers.zeros,

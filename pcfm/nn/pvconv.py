@@ -115,8 +115,11 @@ class PVConv(nn.Module):
 
         k = self.kernel_size
         for i in range(2):
+            # no conv bias: dead through the following BatchNorm (the BN
+            # batch-mean subtraction absorbs any per-channel constant; see
+            # shared_mlp.py) — saves a grid-sized cotangent reduction in bwd
             grid = nn.Conv(self.out_channels, (k, k, k), padding="SAME",
-                           dtype=self.dtype,
+                           dtype=self.dtype, use_bias=False,
                            kernel_init=nn.initializers.lecun_normal(),
                            name=f"conv3d_{i}")(grid)
             grid = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -53,7 +53,8 @@ class ModelBundle:
             self.pf = VelocityNet(cond_dim=cfg.pf_cond_dim, width=cfg.pf_width,
                                   depth=cfg.pf_depth, emb_dim=cfg.pf_emb_dim,
                                   cfg_dropout_p=cfg.cfg_drop_p,
-                                  point_dim=cfg.pf_point_dim, dtype=dtype)
+                                  point_dim=cfg.pf_point_dim, dtype=dtype,
+                                  fused_trunk=cfg.fused_trunk)
             self.pf_has_bn = False
         elif cfg.pf_backbone == "hybrid":
             self.pf = HybridMLP(
@@ -71,7 +72,8 @@ class ModelBundle:
                 pf_width=cfg.pf_width, pf_depth=cfg.pf_depth,
                 pf_emb_dim=cfg.pf_emb_dim, cfg_dropout_p=cfg.cfg_drop_p,
                 dtype=dtype, voxel_backend=resolve_voxel_backend(
-                    cfg.voxel_backend))
+                    cfg.voxel_backend),
+                fused_trunk=cfg.fused_trunk)
             self.pf_has_bn = True
         else:
             raise ValueError(f"unknown pf_backbone '{cfg.pf_backbone}'")

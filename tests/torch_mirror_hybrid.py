@@ -215,23 +215,27 @@ class ContextNetT(nn.Module):
 # ---------------- transplant helpers ----------------
 
 def shared_mlp_params(m: SharedMLPT):
+    # pcfm SharedMLP has no dense bias (dead through BN); the torch bias is
+    # folded into the BN running mean in shared_mlp_stats
     p = {}
     for i, (linear, bn) in enumerate(zip(m.linears, m.bns)):
-        p[f"dense_{i}"] = lin(linear)
+        p[f"dense_{i}"] = {"kernel": lin(linear)["kernel"]}
         p[f"bn_{i}"] = {"scale": bn.weight.detach().numpy(),
                         "bias": bn.bias.detach().numpy()}
     return p
 
 
 def shared_mlp_stats(m: SharedMLPT):
-    return {f"bn_{i}": {"mean": bn.running_mean.detach().numpy(),
+    # eval-mode equivalence: BN((xW + b)) with stats (mu, var) ==
+    # BN(xW) with stats (mu - b, var)
+    return {f"bn_{i}": {"mean": (bn.running_mean
+                                 - linear.bias).detach().numpy(),
                         "var": bn.running_var.detach().numpy()}
-            for i, bn in enumerate(m.bns)}
+            for i, (linear, bn) in enumerate(zip(m.linears, m.bns))}
 
 
 def conv3d_params(c: nn.Conv3d):
-    return {"kernel": c.weight.detach().numpy().transpose(2, 3, 4, 1, 0),
-            "bias": c.bias.detach().numpy()}
+    return {"kernel": c.weight.detach().numpy().transpose(2, 3, 4, 1, 0)}
 
 
 def pvconv_params(m: PVConvT):
@@ -242,9 +246,11 @@ def pvconv_params(m: PVConvT):
               "bn3d_1": {"scale": m.bn1.weight.detach().numpy(),
                          "bias": m.bn1.bias.detach().numpy()},
               "point_features": shared_mlp_params(m.point)}
-    stats = {"bn3d_0": {"mean": m.bn0.running_mean.detach().numpy(),
+    stats = {"bn3d_0": {"mean": (m.bn0.running_mean
+                                 - m.conv0.bias).detach().numpy(),
                         "var": m.bn0.running_var.detach().numpy()},
-             "bn3d_1": {"mean": m.bn1.running_mean.detach().numpy(),
+             "bn3d_1": {"mean": (m.bn1.running_mean
+                                 - m.conv1.bias).detach().numpy(),
                         "var": m.bn1.running_var.detach().numpy()},
              "point_features": shared_mlp_stats(m.point)}
     if m.se is not None:
