@@ -100,9 +100,13 @@ def _gather_kernel(starts_ref, npass_ref, grid_ref, ids_ref, w_ref, out_ref,
                 win = grid_ref[0, pl.ds(base, w_rows), :]        # (W, C)
                 iota = jax.lax.broadcasted_iota(
                     jnp.int32, (w_rows, 128), 0) + base
+                # sum the corner one-hots BEFORE the dot: sum_k oh_k @ win
+                # == (sum_k oh_k) @ win — one MXU pass per group instead
+                # of kg (colliding corners just add their weights)
+                oh = jnp.zeros((w_rows, 128), jnp.float32)
                 for kk in range(gi * kg, (gi + 1) * kg):
-                    oh = jnp.where(iota == rel[kk], wk[kk], 0.0)
-                    acc = acc + _dot_oh_win(oh, win, precision)
+                    oh = jnp.where(iota == rel[kk], oh + wk[kk], oh)
+                acc = acc + _dot_oh_win(oh, win, precision)
             return acc
 
         acc = jax.lax.fori_loop(0, n_pass, pass_body,
@@ -132,11 +136,13 @@ def _scatter_kernel(starts_ref, npass_ref, ids_ref, w_ref, upd_ref, out_ref,
             part = jnp.zeros((w_rows, cb), jnp.float32)
             for r in range(TR):
                 upd_r = upd_ref[0, r * 128:(r + 1) * 128, :]     # (128, C)
+                # multi-hot: one MXU pass per (group, row-block), not kg
+                oh = jnp.zeros((w_rows, 128), jnp.float32)
                 for kk in range(gi * kg, (gi + 1) * kg):
                     rel = ids_ref[0, kk, 0, r, :][None, :]
                     wk = w_ref[0, kk, 0, r, :][None, :]
-                    oh = jnp.where(iota == rel, wk, 0.0)
-                    part = part + _dot_oh_upd(oh, upd_r, precision)
+                    oh = jnp.where(iota == rel, oh + wk, oh)
+                part = part + _dot_oh_upd(oh, upd_r, precision)
             cur = out_ref[0, pl.ds(base, w_rows), :]
             out_ref[0, pl.ds(base, w_rows), :] = cur + part
         return carry

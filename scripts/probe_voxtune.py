@@ -77,7 +77,7 @@ def main():
         vs.TILE = tr * 128
 
     cases = [(32, 128), (16, 256)]
-    for tr in (2, 1):
+    for tr in (2, 4):
         set_tr(tr)
         for r, c in cases:
             ids_s, nc_s, feats, grid = setup(r, c)
@@ -106,9 +106,9 @@ def main():
     # full hybrid step at best TR
     sys.path.insert(0, os.path.dirname(__file__))
     from profile_r2 import make_step
-    for tr in (1,):
+    for tr in (2,):
         if left() < 170:
-            record(f"hybrid_step_tr{tr}", "SKIP")
+            record(f"hybrid_step_mh_tr{tr}", "SKIP")
             continue
         set_tr(tr)
         step, state, batch, key2 = make_step("hybrid")
@@ -121,7 +121,7 @@ def main():
         for i in range(8):
             state, m = step(state, batch, rngs[4 + i], c_on, d_p)
         float(m["loss"])
-        record(f"hybrid_step_tr{tr}",
+        record(f"hybrid_step_mh_tr{tr}",
                round((time.perf_counter() - t0) / 8 * 1e3, 2))
     print("[voxtune] done", flush=True)
 
