@@ -123,6 +123,7 @@ class Config:
     use_bf16: bool = True
     voxel_backend: str = "auto"           # auto|xla|sorted (pvconv path)
     fused_trunk: str = "auto"             # auto|on|off (pallas film_block)
+    ctx_dtype: str = "bf16"               # bf16|fp32 ContextNet island (PARITY.md)
     # ========== TPU parallelism ==========
     dp: int = -1                          # data-parallel size (-1: all devices)
     sp: int = 1                           # point-axis (sequence) parallel size

@@ -9,10 +9,16 @@ Port of models.py:349-543 (_PVBlock / _PVStage / ContextNet):
   * t-gate: alpha = sigmoid(k (t - tau)) blends PV context vs. an
     emb-only global context (models.py:534-539)
 
-The whole module is an fp32 island: the reference forces
-``autocast(enabled=False)`` (models.py:513); here every input is cast to
-fp32 and all submodules run with dtype float32 even when the surrounding
-step computes in bf16.
+Precision: the reference forces ``autocast(enabled=False)`` here
+(models.py:513) — an fp32 island.  That guard exists for GPU fp16, whose
+5-bit exponent underflows in BN statistics; TPU bf16 keeps fp32's 8-bit
+exponent and flax norm layers accumulate statistics in fp32 regardless of
+the compute dtype, so the island is parameterized instead:
+``island_dtype`` (module default fp32 = exact reference semantics; the
+Config default is bf16 — `--ctx_dtype fp32` restores the island).  Voxel
+COORDINATE math always stays fp32 (rounding to voxel ids in bf16 would
+move points across voxel boundaries).  Validated by the full-size
+convergence run (docs/convergence.md) and fp32-tolerance transplant tests.
 """
 from __future__ import annotations
 
@@ -40,16 +46,17 @@ class PVBlock(nn.Module):
     eps: float = 1e-6
     voxel_backend: str = "xla"
     sorted_at_res: int = -1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, f, c, emb, train: bool = True):
         f, c = PVConv(self.channels, kernel_size=3,
                       resolution=self.resolution, with_se=self.with_se,
                       normalize=self.voxel_normalize, eps=self.eps,
-                      dtype=jnp.float32, voxel_backend=self.voxel_backend,
+                      dtype=self.dtype, voxel_backend=self.voxel_backend,
                       sorted_at_res=self.sorted_at_res,
                       name="pvconv")(f, c, train=train)
-        f = SharedMLP(self.channels, dtype=jnp.float32,
+        f = SharedMLP(self.channels, dtype=self.dtype,
                       name="post")(f, train=train)
         film = FiLM1d(self.channels, norm_type=self.norm_type,
                       gn_groups=self.gn_groups, name="film")
@@ -68,10 +75,11 @@ class PVStage(nn.Module):
     voxel_normalize: bool = True
     voxel_backend: str = "xla"
     sorted_at_res: int = -1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, f, c, emb, train: bool = True):
-        f = SharedMLP(self.out_channels, dtype=jnp.float32,
+        f = SharedMLP(self.out_channels, dtype=self.dtype,
                       name="proj")(f, train=train)
         for i in range(self.num_blocks):
             f, c = PVBlock(self.out_channels, self.resolution, self.with_se,
@@ -79,6 +87,7 @@ class PVStage(nn.Module):
                            voxel_normalize=self.voxel_normalize,
                            voxel_backend=self.voxel_backend,
                            sorted_at_res=self.sorted_at_res,
+                           dtype=self.dtype,
                            name=f"block_{i}")(f, c, emb, train=train)
         return f, c
 
@@ -100,6 +109,7 @@ class ContextNet(nn.Module):
     t_gate_k: float = 10.0
     t_gate_tau: float = 0.4
     voxel_backend: str = "xla"       # "xla" | "sorted" (see pvconv.py)
+    island_dtype: jnp.dtype = jnp.float32   # bf16: TPU-first (see docstring)
 
     @nn.compact
     def __call__(self, x, t, cond: Optional[jax.Array],
@@ -109,7 +119,8 @@ class ContextNet(nn.Module):
             == len(self.stage_res)
         b, n, d = x.shape
         out_dtype = x.dtype
-        # ---- fp32 island from here on (models.py:513) ----
+        # ---- precision island from here on (models.py:513): features in
+        # island_dtype, coordinates + norm statistics always fp32 ----
         x = x.astype(jnp.float32)
 
         # sorted-window voxel backend: sort points ONCE by their stage-0
@@ -149,7 +160,8 @@ class ContextNet(nn.Module):
         use_rgb = (self.in_point_dim == 6)
         if use_rgb and d == 6:
             feats.append(x[..., 3:])
-        f = jnp.concatenate(feats, axis=-1)                         # (B,N,C_in)
+        f = jnp.concatenate(feats, axis=-1).astype(
+            self.island_dtype)                                      # (B,N,C_in)
 
         ms_feats = []
         c = coords
@@ -163,6 +175,7 @@ class ContextNet(nn.Module):
                            voxel_backend=(self.voxel_backend if use_sorted
                                           else "xla"),
                            sorted_at_res=int(self.stage_res[0]),
+                           dtype=self.island_dtype,
                            name=f"stage_{i}")(f, c, emb, train=train)
             ms_feats.append(f)
 

@@ -45,6 +45,7 @@ class HybridMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
     voxel_backend: str = "xla"
     fused_trunk: str = "auto"         # auto|on|off (pallas film_block)
+    ctx_island_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, t, cond: Optional[jax.Array],
@@ -66,7 +67,8 @@ class HybridMLP(nn.Module):
             voxel_normalize=self.voxel_normalize,
             use_t_gate=self.use_t_gate, t_gate_k=self.t_gate_k,
             t_gate_tau=self.t_gate_tau,
-            voxel_backend=self.voxel_backend, name="ctx_net",
+            voxel_backend=self.voxel_backend,
+            island_dtype=self.ctx_island_dtype, name="ctx_net",
         )(x, t, cond_eff if self.cond_dim > 0 else None, train=train)
 
         v = VelocityNetWithContext(

@@ -74,7 +74,10 @@ def _is_complete(path: str) -> bool:
 
 def find_latest(out_dir: str) -> Tuple[Optional[str], int]:
     """Return (path, epoch) of the newest COMPLETE checkpoint, or (None, 0)
-    (train.py:438-450)."""
+    (train.py:438-450).  Blocks on any in-flight async save first — a
+    same-process save-then-scan (e.g. auto_resume right after a save)
+    must see the committed directory."""
+    wait_for_saves()
     d = ckpt_dir(out_dir)
     if not os.path.isdir(d):
         return None, 0

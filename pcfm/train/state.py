@@ -73,7 +73,9 @@ class ModelBundle:
                 pf_emb_dim=cfg.pf_emb_dim, cfg_dropout_p=cfg.cfg_drop_p,
                 dtype=dtype, voxel_backend=resolve_voxel_backend(
                     cfg.voxel_backend),
-                fused_trunk=cfg.fused_trunk)
+                fused_trunk=cfg.fused_trunk,
+                ctx_island_dtype=(jnp.bfloat16 if cfg.ctx_dtype == "bf16"
+                                  else jnp.float32))
             self.pf_has_bn = True
         else:
             raise ValueError(f"unknown pf_backbone '{cfg.pf_backbone}'")
