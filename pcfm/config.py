@@ -132,6 +132,7 @@ class Config:
     profile_dir: str = ""                 # write a jax.profiler trace of a few steps
     profile_steps: int = 5
     log_every: int = 50                   # step-metric print cadence (rank 0)
+    tensorboard: bool = False             # TB event files in {out_dir}/tb (pcfm/utils/tb.py)
 
     # ---- derived at runtime (set by the data layer, like the reference
     # writes back onto args — datasets.py:694-696,713-714) ----

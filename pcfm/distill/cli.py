@@ -1,0 +1,78 @@
+"""Distillation CLI: progressive few-NFE distillation of a trained run.
+
+    python -m pcfm.distill.cli --out_dir runs/hybrid --phases 3
+
+loads the newest checkpoint, runs `phases` teacher-halvings on the run's
+training data, and saves a new checkpoint whose pf (and EMA) are the
+distilled student, with ``sampler="euler"`` and the reduced
+``sample_steps`` baked into its config — so the existing sample/eval CLIs
+pick the fast path up transparently.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Sequence
+
+import jax
+
+from pcfm.data import DataLoader, get_datasets, to_model_batch
+from pcfm.distill.progressive import distill_pf
+from pcfm.sample.cli import load_run
+from pcfm.train import checkpoint as ckpt
+
+
+def main(argv: Optional[Sequence[str]] = None):
+    p = argparse.ArgumentParser("pcfm progressive distillation")
+    p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--save_dir", type=str, default="",
+                   help="default: {out_dir}_distilled")
+    p.add_argument("--phases", type=int, default=3,
+                   help="number of NFE halvings")
+    p.add_argument("--steps_per_phase", type=int, default=400)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--ema_decay", type=float, default=0.999)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    cfg, bundle, state, ep = load_run(args.out_dir)
+    if args.batch_size:
+        cfg = cfg.replace(batch_size=args.batch_size)
+        bundle.cfg = cfg
+    tr_ds, _ = get_datasets(cfg)
+    loader = DataLoader(tr_ds, cfg.batch_size, shuffle=True, drop_last=True,
+                        seed=cfg.seed + 1, num_workers=cfg.num_workers)
+
+    def batches(phase: int):
+        ep_i = 0
+        while True:                      # rewind for as long as the phase runs
+            for b in loader.epoch_batches(1000 * phase + ep_i):
+                yield jax.device_put(to_model_batch(
+                    b, train=True, has_rgb=cfg.has_rgb,
+                    cond_dim=cfg.cond_dim))
+            ep_i += 1
+
+    pf_params, pf_ema, steps = distill_pf(
+        bundle, state, batches, base_steps=cfg.sample_steps,
+        phases=args.phases, steps_per_phase=args.steps_per_phase,
+        lr=args.lr, ema_decay=args.ema_decay,
+        rng=jax.random.PRNGKey(args.seed))
+
+    new_params = dict(state.params)
+    new_params["pf"] = pf_params
+    new_state = state.replace(
+        params=new_params,
+        ema_pf={"params": pf_ema,
+                "batch_stats": state.ema_pf["batch_stats"]})
+    new_cfg = cfg.replace(sampler="euler", sample_steps=steps)
+    save_dir = args.save_dir or (args.out_dir.rstrip("/") + "_distilled")
+    os.makedirs(save_dir, exist_ok=True)
+    ckpt.save(save_dir, ep, new_state, new_cfg, async_save=False)
+    print(f"[distill] saved distilled checkpoint (euler x{steps}, "
+          f"{2 ** args.phases}x fewer NFE) to {save_dir}")
+    return save_dir, steps
+
+
+if __name__ == "__main__":
+    main()

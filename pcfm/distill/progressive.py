@@ -1,0 +1,191 @@
+"""Progressive velocity-field distillation — few-NFE sampling.
+
+Beyond-reference capability (ROADMAP #8): the reference samples with a
+fixed 50-step Heun loop = 100 network evals per flow (train.py:332-341).
+Progressive distillation (Salimans & Ho, "Progressive Distillation for
+Fast Sampling of Diffusion Models", ICLR 2022, re-derived here for the
+rectified-flow *velocity* parameterization) halves that repeatedly:
+
+  phase p trains a student for N_p = N / 2^p Euler steps.  For a grid
+  time t = k/N_p and the FM marginal point x_t = (1-t) x0 + t x1
+  (x0 ~ prior, x1 ~ data — exactly the training-time interpolant,
+  train.py:585-607), the TEACHER advances one student step dt = 1/N_p
+  with TWO Heun sub-steps of size dt/2, reaching x''.  The student
+  regresses its velocity onto the secant
+
+      v*(x_t, t) = (x'' - x_t) / dt,
+
+  so ONE student Euler step reproduces the teacher's two-sub-step jump.
+  After each phase the student (EMA) becomes the next teacher.
+
+The distilled field drops into the existing samplers unchanged — sampling
+with `sampler="euler", sample_steps=N_p` gives teacher-quality shapes at
+1/2^p the NFE (the sampler wall-clock is linear in NFE).
+
+Only the point flow is distilled: the latent flow integrates a (B, 128)
+vector — microseconds per step — while each point-flow eval is a full
+backbone forward over 20k points.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from pcfm.config import Config
+from pcfm.sample.priors import make_pf_prior
+from pcfm.train.state import ModelBundle, TrainState, ema_update
+
+
+class DistillState(flax.struct.PyTreeNode):
+    params: Any          # student pf params
+    ema_params: Any      # student EMA (becomes the next-phase teacher)
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _teacher_two_heun(vf: Callable, x, t, dt):
+    """Two Heun (RK2) sub-steps of size dt/2 from (x, t) -> x''."""
+    h = dt / 2.0
+    v1 = vf(x, t)
+    v2 = vf(x + h * v1, t + h)
+    x_mid = x + 0.5 * h * (v1 + v2)
+    v3 = vf(x_mid, t + h)
+    v4 = vf(x_mid + h * v3, t + dt)
+    return x_mid + 0.5 * h * (v3 + v4)
+
+
+def make_distill_step(bundle: ModelBundle, tx: optax.GradientTransformation,
+                      phase_steps: int, ema_decay: float = 0.999):
+    """Jitted distillation step for one phase (student grid = phase_steps).
+
+    Signature: (teacher_pf, dstate, enc_params, enc_stats, batch, rng)
+    -> (dstate, metrics); `teacher_pf` is {'params', 'batch_stats'}.
+    BN runs in eval mode throughout (running stats frozen at their trained
+    values — the reference's set_bn_eval discipline, models.py:663-673).
+    """
+    cfg = bundle.cfg
+    n_steps = float(phase_steps)
+
+    def loss_fn(params_s, teacher_pf, enc_params, enc_stats, batch, rng):
+        pts = batch["pts"].astype(jnp.float32)
+        b, n = pts.shape[:2]
+        k_prior, k_t = jax.random.split(rng)
+
+        # x1 / encoder input exactly as the train step builds them
+        if cfg.pf_point_dim == 6:
+            x1 = jnp.concatenate([pts, batch["rgb"].astype(jnp.float32)],
+                                 axis=-1)
+        else:
+            x1 = pts
+        if cfg.enc_in_channels == 6:
+            enc_in = jnp.concatenate([pts, batch["rgb"].astype(jnp.float32)],
+                                     axis=-1)
+        else:
+            enc_in = pts
+        z, _, _ = bundle.apply_enc(enc_params, enc_stats, enc_in,
+                                   train=False)
+        cond = batch.get("cond")
+        if cond is not None:
+            cond_full = jnp.concatenate([z, cond.astype(z.dtype)], axis=1)
+        elif cfg.cond_dim > 0:
+            cond_full = jnp.concatenate(
+                [z, jnp.zeros((b, cfg.cond_dim), z.dtype)], axis=1)
+        else:
+            cond_full = z
+
+        x0 = make_pf_prior(k_prior, (b, n, cfg.pf_point_dim),
+                           cfg.point_prior_std, cfg.color_prior,
+                           cfg.color_prior_std)
+        # student grid times t = k/N_p, k ~ U{0..N_p-1}
+        k_idx = jax.random.randint(k_t, (b,), 0, phase_steps)
+        t = k_idx.astype(jnp.float32) / n_steps
+        tb = t[:, None, None]
+        x_t = (1.0 - tb) * x0 + tb * x1
+
+        vf_t = bundle.pf_velocity_fn(teacher_pf["params"],
+                                     teacher_pf["batch_stats"])
+        dt = 1.0 / n_steps
+        x_pp = jax.lax.stop_gradient(
+            _teacher_two_heun(lambda x, tt: vf_t(x, tt, cond_full), x_t, t,
+                              dt))
+        v_star = (x_pp - x_t) / dt
+
+        v_s, _ = bundle.apply_pf(params_s, teacher_pf["batch_stats"], x_t,
+                                 t, cond_full, None, train=False)
+        loss = jnp.mean((v_s.astype(jnp.float32) - v_star) ** 2)
+        return loss
+
+    @jax.jit
+    def distill_step(teacher_pf, dstate: DistillState, enc_params,
+                     enc_stats, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            dstate.params, teacher_pf, enc_params, enc_stats, batch, rng)
+        updates, opt_state = tx.update(grads, dstate.opt_state,
+                                       dstate.params)
+        params = optax.apply_updates(dstate.params, updates)
+        ema = ema_update(dstate.ema_params, params, ema_decay)
+        return dstate.replace(params=params, ema_params=ema,
+                              opt_state=opt_state, step=dstate.step + 1), \
+            {"loss_distill": loss}
+
+    return distill_step
+
+
+def distill_pf(bundle: ModelBundle, state: TrainState,
+               batches: Callable[[int], Iterable[dict]],
+               base_steps: int = 50, phases: int = 3,
+               steps_per_phase: int = 400, lr: float = 1e-4,
+               ema_decay: float = 0.999, rng: Optional[jax.Array] = None,
+               use_ema_teacher: bool = True, verbose: bool = True):
+    """Run `phases` halvings starting from the trained point flow.
+
+    Args:
+      batches: phase index -> iterable of model batches (pts/rgb/cond),
+        e.g. re-winding a DataLoader each phase.
+      base_steps: the teacher's step count at phase 0 (the run's
+        sample_steps).
+    Returns (pf_params, pf_ema_params, final_steps): the distilled student
+    (drop-in replacements for state.params['pf'] / ema_pf['params']) and
+    its Euler step count base_steps // 2^phases.
+    """
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    teacher_pf = {
+        "params": state.ema_pf["params"] if use_ema_teacher
+        else state.params["pf"],
+        "batch_stats": state.ema_pf["batch_stats"] if use_ema_teacher
+        else state.batch_stats["pf"],
+    }
+    enc_params, enc_stats = state.params["enc"], state.batch_stats["enc"]
+    student = jax.tree_util.tree_map(jnp.copy, teacher_pf["params"])
+
+    steps = base_steps
+    for phase in range(phases):
+        steps = max(1, steps // 2)
+        tx = optax.adamw(lr, weight_decay=1e-4)
+        dstate = DistillState(
+            params=student,
+            ema_params=jax.tree_util.tree_map(jnp.copy, student),
+            opt_state=tx.init(student), step=jnp.zeros((), jnp.int32))
+        dstep = make_distill_step(bundle, tx, steps, ema_decay)
+        it = 0
+        for batch in batches(phase):
+            rng, sk = jax.random.split(rng)
+            dstate, m = dstep(teacher_pf, dstate, enc_params, enc_stats,
+                              batch, sk)
+            it += 1
+            if it >= steps_per_phase:
+                break
+        if verbose:
+            print(f"[distill] phase {phase + 1}/{phases}: student at "
+                  f"{steps} Euler steps, {it} opt steps, final loss "
+                  f"{float(m['loss_distill']):.5f}", flush=True)
+        # student (EMA) graduates to teacher for the next halving
+        teacher_pf = {"params": dstate.ema_params,
+                      "batch_stats": teacher_pf["batch_stats"]}
+        student = dstate.ema_params
+
+    return student, dstate.ema_params, steps

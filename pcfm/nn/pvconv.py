@@ -31,6 +31,9 @@ from pcfm.parallel.sp_context import sp_mesh_for
 # already fast); the sorted kernels run in interpret mode off-TPU so the
 # same code path is testable on CPU
 SORTED_R3_MIN = 4096
+# ... and only for point counts where the window matmuls amortize the
+# sort/metadata cost (below this the XLA segment-sum/gather already wins)
+SORTED_N_MIN = 4096
 
 
 def _use_dense(resolution: int) -> bool:
@@ -39,7 +42,7 @@ def _use_dense(resolution: int) -> bool:
 
 def _use_sorted(backend: str, resolution: int, b: int, n: int) -> bool:
     return (backend == "sorted" and resolution ** 3 >= SORTED_R3_MIN
-            and sp_mesh_for(b, n) is None)
+            and n >= SORTED_N_MIN and sp_mesh_for(b, n) is None)
 
 
 def _interp() -> bool:

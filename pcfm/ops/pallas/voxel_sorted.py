@@ -50,6 +50,12 @@ _VMEM_LIMIT = 100 * 2 ** 20
 TR = 2
 TILE = TR * 128
 
+# window starts are aligned to ALIGN rows and passed to the kernel DIVIDED
+# by ALIGN: the in-kernel `start * ALIGN` makes the dynamic dim-1 index
+# statically provably aligned (Mosaic requires this for packed-dtype (bf16)
+# vector loads; a scalar-prefetched value alone is opaque to the prover)
+ALIGN = 16
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -86,7 +92,7 @@ def _gather_kernel(starts_ref, npass_ref, grid_ref, ids_ref, w_ref, out_ref,
                    groups: tuple):
     b = pl.program_id(0)
     t = pl.program_id(2)
-    s = starts_ref[b, t]
+    s = starts_ref[b, t] * ALIGN          # provably ALIGN-aligned
     n_pass = npass_ref[b, t]
     kg = k // len(groups)
 
@@ -103,10 +109,14 @@ def _gather_kernel(starts_ref, npass_ref, grid_ref, ids_ref, w_ref, out_ref,
                 # sum the corner one-hots BEFORE the dot: sum_k oh_k @ win
                 # == (sum_k oh_k) @ win — one MXU pass per group instead
                 # of kg (colliding corners just add their weights)
+                # build the multi-hot in f32 (bf16 select hits a Mosaic
+                # relayout bug at large W), cast once for the bf16 dot
                 oh = jnp.zeros((w_rows, 128), jnp.float32)
                 for kk in range(gi * kg, (gi + 1) * kg):
-                    oh = jnp.where(iota == rel[kk], oh + wk[kk], oh)
-                acc = acc + _dot_oh_win(oh, win, precision)
+                    oh = jnp.where(iota == rel[kk],
+                                   oh + wk[kk].astype(jnp.float32), oh)
+                acc = acc + _dot_oh_win(oh.astype(win.dtype), win,
+                                        precision)
             return acc
 
         acc = jax.lax.fori_loop(0, n_pass, pass_body,
@@ -125,7 +135,7 @@ def _scatter_kernel(starts_ref, npass_ref, ids_ref, w_ref, upd_ref, out_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    s = starts_ref[b, t]
+    s = starts_ref[b, t] * ALIGN          # provably ALIGN-aligned
     n_pass = npass_ref[b, t]
 
     def pass_body(p, carry):
@@ -141,13 +151,24 @@ def _scatter_kernel(starts_ref, npass_ref, ids_ref, w_ref, upd_ref, out_ref,
                 for kk in range(gi * kg, (gi + 1) * kg):
                     rel = ids_ref[0, kk, 0, r, :][None, :]
                     wk = w_ref[0, kk, 0, r, :][None, :]
-                    oh = jnp.where(iota == rel, oh + wk, oh)
-                part = part + _dot_oh_upd(oh, upd_r, precision)
+                    oh = jnp.where(iota == rel,
+                                   oh + wk.astype(jnp.float32), oh)
+                part = part + _dot_oh_upd(oh.astype(upd_r.dtype), upd_r,
+                                          precision)
             cur = out_ref[0, pl.ds(base, w_rows), :]
             out_ref[0, pl.ds(base, w_rows), :] = cur + part
         return carry
 
     jax.lax.fori_loop(0, n_pass, pass_body, 0)
+
+
+def tile_dtype(precision) -> jnp.dtype:
+    """VMEM/DMA dtype for window data: bf16 under DEFAULT precision (the
+    dot multiplies in bf16 anyway — halving HBM traffic and the one-hot
+    build adds no further rounding class), f32 under HIGHEST (exactness
+    paths: counts, parity tests)."""
+    return (jnp.float32 if precision == jax.lax.Precision.HIGHEST
+            else jnp.bfloat16)
 
 
 def _pad_axis1(x, n_pad, value=0):
@@ -160,15 +181,16 @@ def _pad_axis1(x, n_pad, value=0):
 
 def _tile_meta(base_pad: jax.Array, w_rows: int,
                reach: int) -> Tuple[jax.Array, jax.Array]:
-    """Per-tile window starts (8-aligned) and pass counts from the padded
-    base ids (B, N_pad); windows cover [min, max + reach]."""
+    """Per-tile window starts (ALIGN-aligned, returned DIVIDED by ALIGN —
+    see the ALIGN note) and pass counts from the padded base ids
+    (B, N_pad); windows cover [min, max + reach]."""
     b, n_pad = base_pad.shape
     tiles = base_pad.reshape(b, n_pad // TILE, TILE)
     tmin = jnp.min(tiles, axis=-1)
     tmax = jnp.max(tiles, axis=-1) + reach
-    start = (tmin // 8) * 8
+    start = (tmin // ALIGN) * ALIGN
     n_pass = (tmax - start) // w_rows + 1
-    return start.astype(jnp.int32), n_pass.astype(jnp.int32)
+    return (start // ALIGN).astype(jnp.int32), n_pass.astype(jnp.int32)
 
 
 def _block_c(c: int, r3_pad: int) -> int:
@@ -178,10 +200,11 @@ def _block_c(c: int, r3_pad: int) -> int:
     return c if c <= 128 else 128
 
 
-def _prep(ids, weights, base_ids, n_pad, k, bsz):
+def _prep(ids, weights, base_ids, n_pad, k, bsz, dt=jnp.float32):
     n_tiles = n_pad // TILE
     ids_p = _pad_axis1(ids.transpose(0, 2, 1), n_pad).transpose(0, 2, 1)
-    w_p = _pad_axis1(weights.transpose(0, 2, 1), n_pad).transpose(0, 2, 1)
+    w_p = _pad_axis1(weights.astype(dt).transpose(0, 2, 1),
+                     n_pad).transpose(0, 2, 1)
     # padding entries carry weight 0 (inert); base ids are EDGE-padded
     # (repeat the last real id) so the final tile's min/max window stays
     # tight.  NOTE: per-tile min/max must come from the raw values — the
@@ -191,7 +214,7 @@ def _prep(ids, weights, base_ids, n_pad, k, bsz):
     base_p = jnp.pad(base_ids, ((0, 0), (0, pad)), mode="edge") \
         if pad else base_ids
     ids5 = ids_p.reshape(bsz, k, n_tiles, TR, 128)
-    w5 = w_p.reshape(bsz, k, n_tiles, TR, 128).astype(jnp.float32)
+    w5 = w_p.reshape(bsz, k, n_tiles, TR, 128)
     return ids5, w5, base_p, n_tiles
 
 
@@ -214,13 +237,17 @@ def gather_windows(grid_flat: jax.Array, ids: jax.Array, weights: jax.Array,
     """
     bsz, r3, c = grid_flat.shape
     _, k, n = ids.shape
+    assert w_rows % ALIGN == 0 and all(g % ALIGN == 0 for g in groups), \
+        (w_rows, groups)                  # window-start provable alignment
     n_pad = _cdiv(n, TILE) * TILE
     row_pad = max(groups) + w_rows
-    grid_p = jnp.pad(grid_flat.astype(jnp.float32),
+    dt = tile_dtype(precision)
+    grid_p = jnp.pad(grid_flat.astype(dt),
                      ((0, 0), (0, row_pad), (0, 0)))
     r3p = r3 + row_pad
     cb = _block_c(c, r3p)
-    ids5, w5, base_p, n_tiles = _prep(ids, weights, base_ids, n_pad, k, bsz)
+    ids5, w5, base_p, n_tiles = _prep(ids, weights, base_ids, n_pad, k, bsz,
+                                      dt)
     starts, n_pass = _tile_meta(base_p, w_rows, reach)
 
     kern = functools.partial(_gather_kernel, k=k, w_rows=w_rows, cb=cb,
@@ -262,12 +289,16 @@ def scatter_windows(updates: jax.Array, ids: jax.Array, weights: jax.Array,
     """
     bsz, n, c = updates.shape
     _, k, _ = ids.shape
+    assert w_rows % ALIGN == 0 and all(g % ALIGN == 0 for g in groups), \
+        (w_rows, groups)                  # window-start provable alignment
     r3 = r ** 3
     n_pad = _cdiv(n, TILE) * TILE
     r3p = r3 + max(groups) + w_rows
     cb = _block_c(c, r3p)
-    upd_p = _pad_axis1(updates.astype(jnp.float32), n_pad)
-    ids5, w5, base_p, n_tiles = _prep(ids, weights, base_ids, n_pad, k, bsz)
+    dt = tile_dtype(precision)
+    upd_p = _pad_axis1(updates.astype(dt), n_pad)
+    ids5, w5, base_p, n_tiles = _prep(ids, weights, base_ids, n_pad, k, bsz,
+                                      dt)
     starts, n_pass = _tile_meta(base_p, w_rows, reach)
 
     kern = functools.partial(_scatter_kernel, k=k, w_rows=w_rows, cb=cb,

@@ -135,6 +135,7 @@ def build_parser() -> argparse.ArgumentParser:
          choices=["bf16", "fp32"])
     flag("--dp", type=int, default=d.dp)
     flag("--sp", type=int, default=d.sp)
+    flag("--tensorboard", action="store_true", default=d.tensorboard)
     return p
 
 

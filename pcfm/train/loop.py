@@ -119,6 +119,10 @@ def train(cfg: Config, verbose: bool = True) -> dict:
     last_metrics = {}
     profiling = bool(cfg.profile_dir) and rank == 0
     global_step_seen = 0
+    tb = None
+    if cfg.tensorboard and rank == 0:
+        from pcfm.utils.tb import SummaryWriter
+        tb = SummaryWriter(os.path.join(cfg.out_dir, "tb"))
 
     for ep in range(start_epoch, cfg.epochs + 1):
         color_on, drop_p = epoch_scalars(cfg, ep)
@@ -171,6 +175,12 @@ def train(cfg: Config, verbose: bool = True) -> dict:
                            **{k: round(v, 6)
                               for k, v in last_metrics.items()}}, f)
                 f.write("\n")
+            if tb is not None:
+                tb.add_scalars({f"train/{k}": v
+                                for k, v in last_metrics.items()}
+                               | {"perf/sec_per_epoch": dt,
+                                  "perf/points_per_sec": pps}, ep)
+                tb.flush()
         if verbose and rank == 0:
             print(f"Ep{ep}: lp={last_metrics['loss_point']:.4f} "
                   f"lz={last_metrics['loss_latent']:.4f} "
@@ -180,9 +190,16 @@ def train(cfg: Config, verbose: bool = True) -> dict:
             if rank == 0:
                 ckpt.save(cfg.out_dir, ep, state, cfg,
                           async_save=cfg.async_save)
-            run_validation(cfg, bundle, state, recon_fn, sample_fn,
-                           val_batch, ep, rng, rank, verbose)
+            cd_rec, cd_gen = run_validation(cfg, bundle, state, recon_fn,
+                                            sample_fn, val_batch, ep, rng,
+                                            rank, verbose)
+            if tb is not None and cd_rec is not None:
+                tb.add_scalars({"val/recon_cd": cd_rec,
+                                "val/gen_cd": cd_gen}, ep)
+                tb.flush()
 
+    if tb is not None:
+        tb.close()
     ckpt.wait_for_saves()
     if rank == 0 and cfg.keep_last_ckpts > 0:
         # async saves GC one behind (the in-flight dir only counts once

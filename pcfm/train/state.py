@@ -162,11 +162,11 @@ def make_optimizer(cfg: Config, total_steps: int) -> optax.GradientTransformatio
         return {k: jax.tree_util.tree_map(lambda _: k, v)
                 for k, v in params.items()}
 
-    chain = []
-    if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
-        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
-    chain.append(optax.multi_transform(txs, labels))
-    return optax.chain(*chain)
+    # NOTE: global-norm clipping is applied INSIDE train_step (one norm
+    # computation shared with the grad_norm metric) — optax's
+    # clip_by_global_norm would compute a second per-leaf sum-of-squares
+    # swarm: ~300 scalar fusions/step of pure dispatch overhead on TPU.
+    return optax.multi_transform(txs, labels)
 
 
 def init_state(cfg: Config, rng: jax.Array, total_steps: int) -> tuple:

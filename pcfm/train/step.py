@@ -20,6 +20,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from pcfm.models.adversary import grad_reverse
 from pcfm.train.state import ModelBundle, TrainState, ema_update
@@ -160,6 +161,14 @@ def train_step(bundle: ModelBundle, tx, state: TrainState,
     (loss, (new_stats, metrics)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
 
+    # joint global-norm clip (train.py:653-657), computed ONCE and shared
+    # with the grad_norm metric (optax.clip_by_global_norm would duplicate
+    # the per-leaf sum-of-squares pass)
+    gnorm = optax.global_norm(grads)
+    if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
+        scale = cfg.grad_clip_norm / jnp.maximum(gnorm, cfg.grad_clip_norm)
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
     new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
                                         updates)
@@ -177,9 +186,7 @@ def train_step(bundle: ModelBundle, tx, state: TrainState,
     new_state = state.replace(params=new_params, batch_stats=batch_stats,
                               opt_state=new_opt_state, ema_pf=ema_pf,
                               ema_lf=ema_lf, step=state.step + 1)
-    metrics["grad_norm"] = jnp.sqrt(
-        sum(jnp.sum(g.astype(jnp.float32) ** 2)
-            for g in jax.tree_util.tree_leaves(grads)))
+    metrics["grad_norm"] = gnorm
     return new_state, metrics
 
 

@@ -5,12 +5,21 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import pcfm.ops.voxel_sorted as vos
 from pcfm.ops.voxel import (avg_voxelize, flatten_voxel_ids,
                             normalize_coords, trilinear_devoxelize)
 from pcfm.ops.voxel_sorted import (avg_voxelize_sorted, counts_sorted,
                                    permute_points, sort_perm_by_voxel,
                                    trilinear_devoxelize_sorted,
                                    unpermute_points)
+
+
+@pytest.fixture(autouse=True)
+def _exact_tiles(monkeypatch):
+    """Pin f32 window tiles (HIGHEST) for the exactness assertions below;
+    the model path runs DEFAULT (bf16 tiles) — covered by the loose test
+    at the bottom."""
+    monkeypatch.setattr(vos, "DOT_PRECISION", jax.lax.Precision.HIGHEST)
 
 
 def _setup(b=2, n=500, c=64, r=8, seed=0, sort=True):
@@ -152,10 +161,12 @@ def test_permute_roundtrip_and_grad():
     np.testing.assert_allclose(g, 2 * np.asarray(x), atol=1e-6)
 
 
-def test_contextnet_sorted_backend_matches_xla():
+def test_contextnet_sorted_backend_matches_xla(monkeypatch):
     """Full ContextNet with voxel_backend='sorted' (entry sort + sorted
     PVConv kernels in interpret mode + exit unsort) must match the XLA
     backend — forward and input-gradient."""
+    import pcfm.nn.pvconv as pvc
+    monkeypatch.setattr(pvc, "SORTED_N_MIN", 0)   # test uses n=300
     from pcfm.models.context import ContextNet
 
     kw = dict(in_point_dim=3, cond_dim=2, emb_dim=16, ctx_dim=8,
@@ -193,3 +204,18 @@ def test_odd_channel_padding():
     want = np.asarray(avg_voxelize(feats, vc, 8)).reshape(2, 512, 17)
     got = np.asarray(avg_voxelize_sorted(feats, ids, 8, True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_default_precision_bf16_tiles(monkeypatch):
+    """Model-path precision (DEFAULT -> bf16 window tiles): same windows/
+    semantics, ~2^-8 relative rounding."""
+    monkeypatch.setattr(vos, "DOT_PRECISION", jax.lax.Precision.DEFAULT)
+    _, nc, vc, ids, feats = _setup(n=300)
+    want = np.asarray(avg_voxelize(feats, vc, 8)).reshape(2, 512, 64)
+    got = np.asarray(vos.avg_voxelize_sorted(feats, ids, 8, True))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+    grid = jnp.asarray(want)
+    want_d = np.asarray(trilinear_devoxelize(
+        grid.reshape(2, 8, 8, 8, 64), nc, 8))
+    got_d = np.asarray(vos.trilinear_devoxelize_sorted(grid, nc, 8, True))
+    np.testing.assert_allclose(got_d, want_d, rtol=3e-2, atol=3e-2)
