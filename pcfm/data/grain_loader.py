@@ -1,0 +1,107 @@
+"""Grain-backed loader (alternative to the thread loader in loader.py).
+
+ROADMAP #7: `grain` (Google's JAX-native input pipeline) gives
+multi-PROCESS workers — h5py holds the GIL during decompression, so at
+high shard throughput the thread pool in ``DataLoader`` can saturate a
+core; grain's worker processes sidestep that entirely.
+
+Semantics vs the thread loader:
+  * same item pipeline: per-item ``ds.get(idx, rng)`` with a
+    deterministically seeded RandomState (grain supplies a per-record,
+    per-epoch generator derived from the loader seed);
+  * same collate() contract and batch keys;
+  * sharding via grain ShardOptions (rank/world), drop_remainder
+    matching drop_last;
+  * ONE deviation: the shuffle order is grain's internal per-epoch
+    reshuffle keyed off ``seed`` — ``epoch_batches(ep)`` consumes the
+    next len(self) batches from a persistent stream instead of
+    re-deriving order from ``ep`` (grain owns epoch bookkeeping).
+
+Select with ``--loader_backend grain``.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator
+
+import numpy as np
+
+from pcfm.data.loader import collate
+
+
+class _IndexSource:
+    """Trivial random-access source: record i -> i."""
+
+    def __init__(self, n: int):
+        self._n = int(n)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i: int) -> int:
+        return int(i)
+
+
+class GrainLoader:
+    """Drop-in for pcfm.data.loader.DataLoader backed by grain."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0,
+                 num_workers: int = 0, rank: int = 0, world_size: int = 1,
+                 prefetch: int = 4):
+        import grain.python as pg
+
+        self.ds = dataset
+        self.batch_size = int(batch_size)
+        self.drop_last = bool(drop_last)
+        self.world_size = max(1, int(world_size))
+
+        ds_ref = dataset
+
+        class _LoadItem(pg.RandomMapTransform):
+            def random_map(self, idx, rng: np.random.Generator):
+                rs = np.random.RandomState(
+                    int(rng.integers(0, 2 ** 31 - 1)))
+                item = ds_ref.get(int(idx), rs)
+                # grain pickles items between processes; strings survive,
+                # but keep the payload to what collate() consumes
+                return item
+
+        sampler = pg.IndexSampler(
+            num_records=len(dataset),
+            shard_options=pg.ShardOptions(
+                shard_index=int(rank), shard_count=self.world_size,
+                drop_remainder=True),
+            shuffle=bool(shuffle), num_epochs=None, seed=int(seed))
+        self._loader = pg.DataLoader(
+            data_source=_IndexSource(len(dataset)), sampler=sampler,
+            operations=[_LoadItem()], worker_count=max(0, int(num_workers)),
+            worker_buffer_size=max(1, int(prefetch)))
+        self._it = None
+
+    def __len__(self) -> int:
+        n = len(self.ds) // self.world_size
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def epoch_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        if self._it is None:
+            self._it = iter(self._loader)
+        nb = len(self)
+        for _ in range(nb):
+            items = []
+            try:
+                for _ in range(self.batch_size):
+                    items.append(next(self._it))
+            except StopIteration:                      # pragma: no cover
+                if not items or self.drop_last:
+                    return
+            yield collate(items)
+
+
+def make_loader(backend: str, *args, **kwargs):
+    """Factory: 'thread' (default) or 'grain'."""
+    if backend == "grain":
+        return GrainLoader(*args, **kwargs)
+    from pcfm.data.loader import DataLoader
+    return DataLoader(*args, **kwargs)

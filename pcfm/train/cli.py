@@ -136,6 +136,8 @@ def build_parser() -> argparse.ArgumentParser:
     flag("--dp", type=int, default=d.dp)
     flag("--sp", type=int, default=d.sp)
     flag("--tensorboard", action="store_true", default=d.tensorboard)
+    flag("--loader_backend", type=str, default=d.loader_backend,
+         choices=["thread", "grain"])
     return p
 
 

@@ -71,10 +71,11 @@ def train(cfg: Config, verbose: bool = True) -> dict:
     from pcfm.parallel.sp_context import set_sp_mesh
     set_sp_mesh(mesh)
     world = jax.process_count()
-    train_loader = DataLoader(tr_ds, cfg.batch_size, shuffle=True,
-                              drop_last=True, seed=cfg.seed,
-                              num_workers=cfg.num_workers, rank=rank,
-                              world_size=world)
+    from pcfm.data.grain_loader import make_loader
+    train_loader = make_loader(cfg.loader_backend, tr_ds, cfg.batch_size,
+                               shuffle=True, drop_last=True, seed=cfg.seed,
+                               num_workers=cfg.num_workers, rank=rank,
+                               world_size=world)
     val_loader = DataLoader(te_ds, cfg.batch_size, shuffle=False,
                             drop_last=False, seed=cfg.seed,
                             num_workers=max(1, cfg.num_workers // 2),

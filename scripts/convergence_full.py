@@ -102,9 +102,8 @@ def main():
         if ep % EVAL_EVERY == 0 or ep == EPOCHS:
             x = recon(state, te_pts, te_rgb, te_cond,
                       jax.random.fold_in(rng, 10_000_000 + ep))
-            d1, d2, _, _ = chamfer_l2(x[..., :3].astype(jnp.float32),
-                                      te_pts)
-            row["recon_cd"] = round(float(jnp.mean(d1) + jnp.mean(d2)), 4)
+            cd = chamfer_l2(x[..., :3].astype(jnp.float32), te_pts)  # (B,)
+            row["recon_cd"] = round(float(jnp.mean(cd)), 4)
         hist.append(row)
         print(f"[conv] {row}", flush=True)
         with open(os.path.join(OUT, "history.json"), "w") as f:
