@@ -34,7 +34,9 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--out_dir", type=str, required=True)
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--mode", type=str, default="both",
-                   choices=["recon", "gen", "both"])
+                   choices=["recon", "gen", "both", "suite"])
+    p.add_argument("--suite_size", type=int, default=0,
+                   help="suite mode: clouds per set (0 = whole test set)")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--max_batches", type=int, default=0,
                    help="0 = whole test set")
@@ -58,6 +60,36 @@ def main(argv: Optional[Sequence[str]] = None):
     recon_fn = make_recon_fn(bundle)
     sample_fn = make_sample_fn(bundle)
     key = jax.random.PRNGKey(args.seed)
+
+    if args.mode == "suite":
+        # set-level generative metrics: sample one generated cloud per test
+        # cloud (same conds) and run the MMD/COV/1-NNA protocol
+        from pcfm.eval.metrics import generative_metrics
+        refs, gens = [], []
+        for bi, batch in enumerate(loader.epoch_batches(0)):
+            if args.max_batches and bi >= args.max_batches:
+                break
+            pts = jnp.asarray(batch["test_points"], jnp.float32)
+            cond = batch.get("cond")
+            cond = jnp.asarray(cond, jnp.float32) if cond is not None \
+                else None
+            true_b = pts.shape[0]
+            key, k1 = jax.random.split(key)
+            x = sample_fn(state, pad_batch(cond, cfg.batch_size), k1,
+                          cfg.batch_size, pts.shape[1])
+            refs.append(np.asarray(pts))
+            gens.append(np.asarray(x)[:true_b, :, :3])
+            if args.suite_size and sum(r.shape[0] for r in refs) >= \
+                    args.suite_size:
+                break
+        ref = np.concatenate(refs)[:args.suite_size or None]
+        gen = np.concatenate(gens)[:args.suite_size or None]
+        suite = generative_metrics(gen, ref)
+        out = {"epoch": ep, "sampler": cfg.sampler,
+               "steps": cfg.sample_steps, "n_clouds": int(ref.shape[0]),
+               **{k: round(v, 6) for k, v in suite.items()}}
+        print(json.dumps(out))
+        return out
 
     results = {}
     counts = {}

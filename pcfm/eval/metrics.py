@@ -74,3 +74,68 @@ def aggregate(metric_batches: Iterable[Dict[str, jax.Array]]) -> Dict[str, float
         for k, v in mb.items():
             sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
     return {k: v / max(1, count) for k, v in sums.items()}
+
+
+# ---------------------------------------------------------------------------
+# Generative-quality suite: MMD / Coverage / 1-NN accuracy
+# (beyond the reference — the standard PointFlow/ShapeGF protocol for
+# comparing a SET of generated clouds against a SET of references; the
+# reference repo only ever reports paired CD on a fixed val batch.)
+# ---------------------------------------------------------------------------
+
+def cd_matrix(a: jax.Array, b: jax.Array, pair_block: int = 8) -> np.ndarray:
+    """Pairwise symmetric-Chamfer matrix between cloud sets.
+
+    a (Ga, N, 3), b (Gb, M, 3) -> (Ga, Gb) float64 numpy, entry =
+    mean(min-d2 a->b) + mean(min-d2 b->a) (the train-time chamfer_l2
+    convention, train.py:80-84).
+    """
+    a = jnp.asarray(a[..., :3], jnp.float32)
+    b = jnp.asarray(b[..., :3], jnp.float32)
+    ga, gb = a.shape[0], b.shape[0]
+
+    @jax.jit
+    def one_row(x, ys):
+        xs = jnp.broadcast_to(x[None], (ys.shape[0],) + x.shape)
+        d1, d2, _, _ = chamfer_distance(xs, ys)
+        return jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)
+
+    out = np.zeros((ga, gb), np.float64)
+    pad = (-gb) % pair_block
+    bp = jnp.concatenate([b, jnp.broadcast_to(b[-1:],
+                                              (pad,) + b.shape[1:])]) \
+        if pad else b
+    for i in range(ga):
+        rows = [one_row(a[i], bp[j:j + pair_block])
+                for j in range(0, bp.shape[0], pair_block)]
+        out[i] = np.concatenate([np.asarray(r) for r in rows])[:gb]
+    return out
+
+
+def generative_metrics(gen: jax.Array, ref: jax.Array,
+                       pair_block: int = 8) -> Dict[str, float]:
+    """MMD-CD, COV-CD and 1-NNA-CD between generated and reference sets.
+
+    * MMD (quality): mean over REFERENCE clouds of the distance to their
+      nearest generated cloud — lower is better.
+    * COV (diversity): fraction of reference clouds that are the nearest
+      neighbor of at least one generated cloud — higher is better.
+    * 1-NNA (both): leave-one-out 1-NN two-sample classification accuracy
+      over the union — 0.5 is ideal (sets indistinguishable).
+    """
+    d_gr = cd_matrix(gen, ref, pair_block)              # (G, R)
+    mmd = float(d_gr.min(axis=0).mean())
+    cov = float(len(np.unique(d_gr.argmin(axis=1))) / d_gr.shape[1])
+
+    d_gg = cd_matrix(gen, gen, pair_block)
+    d_rr = cd_matrix(ref, ref, pair_block)
+    np.fill_diagonal(d_gg, np.inf)
+    np.fill_diagonal(d_rr, np.inf)
+    # nearest same-set vs cross-set distance per sample
+    gen_self = d_gg.min(axis=1)
+    gen_cross = d_gr.min(axis=1)
+    ref_self = d_rr.min(axis=1)
+    ref_cross = d_gr.min(axis=0)
+    correct = (gen_self < gen_cross).sum() + (ref_self < ref_cross).sum()
+    nna = float(correct / (d_gr.shape[0] + d_gr.shape[1]))
+    return {"mmd_cd": mmd, "cov_cd": cov, "nna_cd": nna}
