@@ -129,6 +129,7 @@ class Config:
     dp: int = -1                          # data-parallel size (-1: all devices)
     sp: int = 1                           # point-axis (sequence) parallel size
     donate: bool = True
+    flat_optimizer: bool = True           # fused raveled AdamW (flat_opt.py)
     # ========== Observability ==========
     profile_dir: str = ""                 # write a jax.profiler trace of a few steps
     profile_steps: int = 5

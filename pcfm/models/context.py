@@ -49,13 +49,14 @@ class PVBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, f, c, emb, train: bool = True):
+    def __call__(self, f, c, emb, train: bool = True,
+                 cache: dict | None = None):
         f, c = PVConv(self.channels, kernel_size=3,
                       resolution=self.resolution, with_se=self.with_se,
                       normalize=self.voxel_normalize, eps=self.eps,
                       dtype=self.dtype, voxel_backend=self.voxel_backend,
                       sorted_at_res=self.sorted_at_res,
-                      name="pvconv")(f, c, train=train)
+                      name="pvconv")(f, c, train=train, cache=cache)
         f = SharedMLP(self.channels, dtype=self.dtype,
                       name="post")(f, train=train)
         film = FiLM1d(self.channels, norm_type=self.norm_type,
@@ -78,7 +79,8 @@ class PVStage(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, f, c, emb, train: bool = True):
+    def __call__(self, f, c, emb, train: bool = True,
+                 cache: dict | None = None):
         f = SharedMLP(self.out_channels, dtype=self.dtype,
                       name="proj")(f, train=train)
         for i in range(self.num_blocks):
@@ -88,7 +90,8 @@ class PVStage(nn.Module):
                            voxel_backend=self.voxel_backend,
                            sorted_at_res=self.sorted_at_res,
                            dtype=self.dtype,
-                           name=f"block_{i}")(f, c, emb, train=train)
+                           name=f"block_{i}")(f, c, emb, train=train,
+                                              cache=cache)
         return f, c
 
 
@@ -163,6 +166,19 @@ class ContextNet(nn.Module):
         f = jnp.concatenate(feats, axis=-1).astype(
             self.island_dtype)                                      # (B,N,C_in)
 
+        # per-resolution voxel metadata, computed ONCE and shared by every
+        # PVConv at that resolution (coords are constant across stages)
+        caches: dict = {}
+        if use_sorted:
+            from pcfm.nn.pvconv import _interp, _use_sorted
+            from pcfm.ops.voxel_sorted import build_stage_cache
+            for rs in dict.fromkeys(int(r) for r in self.stage_res):
+                if _use_sorted(self.voxel_backend, rs, b, n):
+                    caches[rs] = build_stage_cache(
+                        coords, rs, int(self.stage_res[0]),
+                        normalize=self.voxel_normalize, eps=1e-6,
+                        interpret=_interp())
+
         ms_feats = []
         c = coords
         for i, (sc, nb, rs) in enumerate(zip(self.stage_channels,
@@ -176,7 +192,8 @@ class ContextNet(nn.Module):
                                           else "xla"),
                            sorted_at_res=int(self.stage_res[0]),
                            dtype=self.island_dtype,
-                           name=f"stage_{i}")(f, c, emb, train=train)
+                           name=f"stage_{i}")(f, c, emb, train=train,
+                                              cache=caches.get(int(rs)))
             ms_feats.append(f)
 
         if self.with_global:

@@ -62,22 +62,26 @@ class Voxelization(nn.Module):
     voxel_backend: str = "xla"       # "xla" | "sorted"
     sorted_at_res: int = -1          # resolution the points were sorted at
 
-    def __call__(self, features, coords):
+    def __call__(self, features, coords, cache: dict | None = None):
+        if _use_sorted(self.voxel_backend, self.resolution,
+                       features.shape[0], features.shape[1]):
+            from pcfm.ops.voxel_sorted import (avg_voxelize_sorted,
+                                               build_stage_cache)
+            r = self.resolution
+            if cache is None:
+                cache = build_stage_cache(coords, r, self.sorted_at_res,
+                                          normalize=self.normalize,
+                                          eps=self.eps, interpret=_interp())
+            grid = avg_voxelize_sorted(
+                features, cache["vox_ids"], r, _interp(),
+                inv_pt=cache["inv_pt"])
+            b, _, c = features.shape
+            return grid.reshape(b, r, r, r, c), cache["norm_coords"]
         # normalize_coords reduces over the FULL point axis (per-cloud mean
         # + max norm) so it stays OUTSIDE any shard_map: GSPMD derives the
         # cheap psum/pmax for the sharded reductions
         norm_coords, vox_coords = normalize_coords(
             coords, self.resolution, normalize=self.normalize, eps=self.eps)
-        if _use_sorted(self.voxel_backend, self.resolution,
-                       features.shape[0], features.shape[1]):
-            from pcfm.ops.voxel_sorted import avg_voxelize_sorted
-            r = self.resolution
-            ids = flatten_voxel_ids(vox_coords, r)
-            grid = avg_voxelize_sorted(
-                features, ids, r, _interp(),
-                self.resolution == self.sorted_at_res)
-            b, _, c = features.shape
-            return grid.reshape(b, r, r, r, c), norm_coords
         mesh = sp_mesh_for(features.shape[0], features.shape[1])
         if mesh is not None:
             # sequence parallel: local scatter + psum(grid) — avoids the
@@ -108,13 +112,16 @@ class PVConv(nn.Module):
     sorted_at_res: int = -1
 
     @nn.compact
-    def __call__(self, features, coords, train: bool = True):
-        """features (B,N,C), coords (B,N,3) -> (fused (B,N,out), coords)."""
+    def __call__(self, features, coords, train: bool = True,
+                 cache: dict | None = None):
+        """features (B,N,C), coords (B,N,3) -> (fused (B,N,out), coords).
+        ``cache``: per-resolution voxel metadata (build_stage_cache) shared
+        across the PVConvs of a ContextNet stage."""
         r = self.resolution
         vox = Voxelization(r, normalize=self.normalize, eps=self.eps,
                            voxel_backend=self.voxel_backend,
                            sorted_at_res=self.sorted_at_res)
-        grid, norm_coords = vox(features, coords)                   # NDHWC
+        grid, norm_coords = vox(features, coords, cache=cache)      # NDHWC
 
         k = self.kernel_size
         for i in range(2):
@@ -137,7 +144,8 @@ class PVConv(nn.Module):
             from pcfm.ops.voxel_sorted import trilinear_devoxelize_sorted
             b = grid.shape[0]
             voxel_features = trilinear_devoxelize_sorted(
-                grid.reshape(b, r * r * r, -1), norm_coords, r, _interp())
+                grid.reshape(b, r * r * r, -1), norm_coords, r, _interp(),
+                corners=None if cache is None else cache["corners"])
         elif (mesh := sp_mesh_for(norm_coords.shape[0],
                                   norm_coords.shape[1])) is not None:
             from pcfm.parallel.sp_ops import shmap_trilinear_devoxelize

@@ -61,12 +61,20 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+# window sizing: W >= WINDOW_FACTOR * expected-id-span + reach.  The
+# kernel work (multi-hot VPU build + window dot) is n_pass * W >= span,
+# CEIL-quantized per tile: a smaller W wastes less on the quantization
+# (most tiles take 1 pass of a tighter window) at the cost of an extra
+# pass on dense tiles (scripts/probe_voxwin.py measures the sweet spot).
+WINDOW_FACTOR = 2.0
+
+
 def pick_window(r: int, n: int, reach: int = 0) -> int:
-    """Window rows W: twice the expected id span of a TILE-point run of
-    sorted ids (TILE * R^3/N) plus the corner `reach` beyond the base id
-    (R+1 for an x-offset corner group, R^2+R+1 for all 8 corners) —
-    rounded up to a power of two >= 256."""
-    span = int(TILE * (r ** 3) / max(1, n)) * 2 + reach + 1
+    """Window rows W: WINDOW_FACTOR x the expected id span of a TILE-point
+    run of sorted ids (TILE * R^3/N) plus the corner `reach` beyond the
+    base id (R+1 for an x-offset corner group, R^2+R+1 for all 8
+    corners) — rounded up to a power of two >= 256."""
+    span = int(TILE * (r ** 3) / max(1, n) * WINDOW_FACTOR) + reach + 1
     w = 256
     while w < span:
         w *= 2

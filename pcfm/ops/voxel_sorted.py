@@ -59,10 +59,10 @@ def counts_sorted(ids_sorted: jax.Array, r3: int) -> jax.Array:
     return jax.vmap(one)(ids_sorted)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def avg_voxelize_sorted(features: jax.Array, ids_sorted: jax.Array,
                         resolution: int, interpret: bool = False,
-                        contiguous: bool = True):
+                        contiguous: bool = True,
+                        inv_pt: jax.Array | None = None):
     """Scatter-mean features (B, N, C) into a flat grid (B, R^3, C).
 
     ``contiguous=True``: equal ids form contiguous runs (points sorted at
@@ -70,9 +70,31 @@ def avg_voxelize_sorted(features: jax.Array, ids_sorted: jax.Array,
     ``contiguous=False``: ids only roughly sorted (e.g. a coarser stage
     under the stage-0 sort order) — counts go through a tiny scatter-ones/
     gather kernel pair instead.
+    ``inv_pt``: precomputed per-point inverse counts (stage cache — the
+    two PVBlocks of a ContextNet stage share coords, so counts are
+    computed once per stage, see ``build_stage_cache``).
     """
-    grid, _ = _avg_vox_fwd_impl(features, ids_sorted, resolution, interpret,
-                                contiguous)
+    if inv_pt is None:
+        inv_pt = compute_inv_counts(ids_sorted, resolution, interpret,
+                                    contiguous)
+    return _avg_vox_sorted(features, ids_sorted, inv_pt, resolution,
+                           interpret)
+
+
+def compute_inv_counts(ids_sorted: jax.Array, r: int,
+                       interpret: bool = False,
+                       contiguous: bool = True) -> jax.Array:
+    if contiguous:
+        return inv_counts_per_point(ids_sorted)
+    n = ids_sorted.shape[1]
+    return inv_counts_windowed(ids_sorted, r, pick_window(r, n), interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _avg_vox_sorted(features, ids_sorted, inv_pt, resolution,
+                    interpret=False):
+    grid, _ = _avg_vox_fwd_impl(features, ids_sorted, inv_pt, resolution,
+                                interpret)
     return grid
 
 
@@ -112,11 +134,9 @@ def inv_counts_windowed(ids: jax.Array, r: int, w: int,
     return 1.0 / jnp.maximum(cnt_pt, 1.0)
 
 
-def _avg_vox_fwd_impl(features, ids_sorted, r, interpret, contiguous=True):
+def _avg_vox_fwd_impl(features, ids_sorted, inv_pt, r, interpret):
     b, n, c = features.shape
     w = pick_window(r, n)
-    inv_pt = (inv_counts_per_point(ids_sorted) if contiguous
-              else inv_counts_windowed(ids_sorted, r, w, interpret))
     # mean[v] = sum_n f_n / cnt_v  ==  scatter with weight 1/cnt_{v(n)}
     fp = _pad_c(features)
     grid = scatter_windows(fp, ids_sorted[:, None, :], inv_pt[:, None, :],
@@ -125,14 +145,13 @@ def _avg_vox_fwd_impl(features, ids_sorted, r, interpret, contiguous=True):
     return grid, inv_pt
 
 
-def _avg_vox_fwd(features, ids_sorted, r, interpret, contiguous=True):
-    grid, inv_pt = _avg_vox_fwd_impl(features, ids_sorted, r, interpret,
-                                     contiguous)
+def _avg_vox_fwd(features, ids_sorted, inv_pt, r, interpret):
+    grid, _ = _avg_vox_fwd_impl(features, ids_sorted, inv_pt, r, interpret)
     # zero-size array carries the primal dtype through the residuals
     return grid, (ids_sorted, inv_pt, jnp.zeros((0,), features.dtype))
 
 
-def _avg_vox_bwd(r, interpret, contiguous, res, g):
+def _avg_vox_bwd(r, interpret, res, g):
     ids_sorted, inv_pt, dtype_probe = res
     dtype = dtype_probe.dtype
     b, n = ids_sorted.shape
@@ -143,10 +162,10 @@ def _avg_vox_bwd(r, interpret, contiguous, res, g):
     df = gather_windows(gs, ids_sorted[:, None, :], inv_pt[:, None, :],
                         ids_sorted, r, w, precision=DOT_PRECISION,
                         interpret=interpret)[..., :g.shape[-1]]
-    return df.astype(dtype), None
+    return df.astype(dtype), None, None
 
 
-avg_voxelize_sorted.defvjp(_avg_vox_fwd, _avg_vox_bwd)
+_avg_vox_sorted.defvjp(_avg_vox_fwd, _avg_vox_bwd)
 
 
 def corner_data(norm_coords: jax.Array, r: int):
@@ -156,26 +175,36 @@ def corner_data(norm_coords: jax.Array, r: int):
             ids8[..., 0])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def trilinear_devoxelize_sorted(grid_flat: jax.Array,
                                 norm_coords: jax.Array,
-                                resolution: int, interpret: bool = False):
+                                resolution: int, interpret: bool = False,
+                                corners: tuple | None = None):
     """Trilinear interpolation of a flat (B, R^3, C) grid at (B, N, 3)
     normalized coords (in [0, R-1], roughly sorted by voxel id).
-    Returns (B, N, C) f32."""
-    out, _ = _devox_fwd_impl(grid_flat, norm_coords, resolution, interpret)
+    Returns (B, N, C) f32.  ``corners``: precomputed
+    (ids8, w8, base) from ``corner_data`` (stage cache)."""
+    if corners is None:
+        corners = corner_data(norm_coords, resolution)
+    ids8, w8, base = corners
+    return _devox_sorted(grid_flat, ids8, w8, base, resolution, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _devox_sorted(grid_flat, ids8, w8, base, resolution,
+                  interpret=False):
+    out, _ = _devox_fwd_impl(grid_flat, ids8, w8, base, resolution,
+                             interpret)
     return out
 
 
-def _devox_fwd_impl(grid_flat, norm_coords, r, interpret):
+def _devox_fwd_impl(grid_flat, ids8, w8, base, r, interpret):
     """8-corner gather as TWO x-offset groups: corners {0..3} live in
     [base, base+R+1], corners {4..7} in [base+R^2, base+R^2+R+1] — two
     narrow windows instead of one R^2-wide one (4x fewer window FLOPs).
     Collapsed hi-corners (frac==0) fall outside the high group's window
     with weight 0: no match, contribution 0, exactly as required."""
     b, r3, c = grid_flat.shape
-    n = norm_coords.shape[1]
-    ids8, w8, base = corner_data(norm_coords, r)
+    n = ids8.shape[-1]
     reach = r + 1
     w = pick_window(r, n, reach)
     gp = _pad_c(grid_flat)
@@ -185,8 +214,8 @@ def _devox_fwd_impl(grid_flat, norm_coords, r, interpret):
     return out, (ids8, w8, base)
 
 
-def _devox_fwd(grid_flat, norm_coords, r, interpret):
-    out, res = _devox_fwd_impl(grid_flat, norm_coords, r, interpret)
+def _devox_fwd(grid_flat, ids8, w8, base, r, interpret):
+    out, res = _devox_fwd_impl(grid_flat, ids8, w8, base, r, interpret)
     return out, (res, jnp.zeros((0,) + grid_flat.shape[2:],
                                 grid_flat.dtype))
 
@@ -202,10 +231,29 @@ def _devox_bwd(r, interpret, resids, g):
     dg = scatter_windows(gp, ids8, w8, base, r, w, reach=reach,
                          precision=DOT_PRECISION, groups=(0, r * r),
                          interpret=interpret)[..., :gshape[-1]]
-    return dg.astype(gdtype), None
+    return dg.astype(gdtype), None, None, None
 
 
-trilinear_devoxelize_sorted.defvjp(_devox_fwd, _devox_bwd)
+_devox_sorted.defvjp(_devox_fwd, _devox_bwd)
+
+
+def build_stage_cache(coords: jax.Array, r: int, sorted_at_res: int,
+                      normalize: bool = True, eps: float = 0.0,
+                      interpret: bool = False) -> dict:
+    """Per-resolution voxel metadata shared by every PVConv at this
+    resolution (coords don't change across a ContextNet forward, so the
+    2 blocks of a stage — id flattening, occupancy scans, corner
+    ids/weights — need computing ONCE, not once per block).
+
+    Returns {'norm_coords', 'vox_ids', 'inv_pt', 'corners'}."""
+    from pcfm.ops.voxel import normalize_coords
+    norm_coords, vox_coords = normalize_coords(coords, r,
+                                               normalize=normalize, eps=eps)
+    ids = flatten_voxel_ids(vox_coords, r)
+    inv_pt = compute_inv_counts(ids, r, interpret,
+                                contiguous=(r == sorted_at_res))
+    return {"norm_coords": norm_coords, "vox_ids": ids, "inv_pt": inv_pt,
+            "corners": corner_data(norm_coords, r)}
 
 
 def sort_perm_by_voxel(coords: jax.Array, resolution: int,

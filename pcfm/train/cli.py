@@ -138,6 +138,9 @@ def build_parser() -> argparse.ArgumentParser:
     flag("--tensorboard", action="store_true", default=d.tensorboard)
     flag("--loader_backend", type=str, default=d.loader_backend,
          choices=["thread", "grain"])
+    flag("--flat_optimizer", action="store_true", default=d.flat_optimizer)
+    flag("--no_flat_optimizer", dest="flat_optimizer",
+         action="store_false")
     return p
 
 

@@ -141,10 +141,32 @@ def cosine_lr(step, total: int, base_lr: float, min_lr: float = 1e-6,
     return jnp.where(step < warmup, warm, cos)
 
 
+GROUP_LR = {"enc": "lr_enc", "pf": "lr_pf", "lf": "lr_lf", "adv": "lr_enc"}
+
+
 def make_optimizer(cfg: Config, total_steps: int) -> optax.GradientTransformation:
     """Joint global-norm clip + per-submodel AdamW with its own cosine LR —
     the reference's 3 param groups (train.py:249-253) + clip
-    (train.py:653-657)."""
+    (train.py:653-657).
+
+    Default backend is the FLAT fused AdamW (pcfm/train/flat_opt.py): one
+    raveled update instead of ~10 ops x ~400 leaves of dispatch;
+    ``cfg.flat_optimizer=False`` selects the leaf-wise optax chain (kept
+    for cross-checking — `tests/test_flat_opt.py` proves equality)."""
+    if getattr(cfg, "flat_optimizer", True):
+        from pcfm.train.flat_opt import flat_adamw
+
+        def base_lrs(params):
+            return {k: jax.tree_util.tree_map(
+                lambda _: getattr(cfg, GROUP_LR[k]), v)
+                for k, v in params.items()}
+
+        return flat_adamw(base_lrs, total_steps, b1=0.9, b2=0.999,
+                          eps=1e-8, weight_decay=cfg.weight_decay,
+                          clip_norm=cfg.grad_clip_norm or 0.0,
+                          use_cosine=cfg.use_cosine_lr, min_lr=cfg.min_lr,
+                          warmup_steps=cfg.warmup_steps)
+
     def sched(base_lr):
         if not cfg.use_cosine_lr:
             return base_lr
@@ -155,17 +177,15 @@ def make_optimizer(cfg: Config, total_steps: int) -> optax.GradientTransformatio
         return optax.adamw(learning_rate=sched(base_lr), b1=0.9, b2=0.999,
                            eps=1e-8, weight_decay=cfg.weight_decay)
 
-    txs = {"enc": adamw(cfg.lr_enc), "pf": adamw(cfg.lr_pf),
-           "lf": adamw(cfg.lr_lf), "adv": adamw(cfg.lr_enc)}
+    txs = {k: adamw(getattr(cfg, v)) for k, v in GROUP_LR.items()}
 
     def labels(params):
         return {k: jax.tree_util.tree_map(lambda _: k, v)
                 for k, v in params.items()}
 
-    # NOTE: global-norm clipping is applied INSIDE train_step (one norm
-    # computation shared with the grad_norm metric) — optax's
-    # clip_by_global_norm would compute a second per-leaf sum-of-squares
-    # swarm: ~300 scalar fusions/step of pure dispatch overhead on TPU.
+    # NOTE: with the optax backend, global-norm clipping is applied INSIDE
+    # train_step (one norm computation shared with the grad_norm metric);
+    # the flat backend clips within its single fused update.
     return optax.multi_transform(txs, labels)
 
 

@@ -161,13 +161,18 @@ def train_step(bundle: ModelBundle, tx, state: TrainState,
     (loss, (new_stats, metrics)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
 
-    # joint global-norm clip (train.py:653-657), computed ONCE and shared
-    # with the grad_norm metric (optax.clip_by_global_norm would duplicate
-    # the per-leaf sum-of-squares pass)
-    gnorm = optax.global_norm(grads)
-    if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
-        scale = cfg.grad_clip_norm / jnp.maximum(gnorm, cfg.grad_clip_norm)
-        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+    if cfg.flat_optimizer:
+        # the flat fused AdamW clips jointly inside its single raveled
+        # update and stores the norm for the metric (flat_opt.py)
+        gnorm = None
+    else:
+        # joint global-norm clip (train.py:653-657), computed ONCE and
+        # shared with the grad_norm metric
+        gnorm = optax.global_norm(grads)
+        if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
+            scale = cfg.grad_clip_norm / jnp.maximum(gnorm,
+                                                     cfg.grad_clip_norm)
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
 
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
     new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
@@ -186,7 +191,8 @@ def train_step(bundle: ModelBundle, tx, state: TrainState,
     new_state = state.replace(params=new_params, batch_stats=batch_stats,
                               opt_state=new_opt_state, ema_pf=ema_pf,
                               ema_lf=ema_lf, step=state.step + 1)
-    metrics["grad_norm"] = gnorm
+    metrics["grad_norm"] = (new_opt_state.gnorm if gnorm is None
+                            else gnorm)
     return new_state, metrics
 
 
