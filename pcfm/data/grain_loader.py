@@ -97,6 +97,16 @@ class GrainLoader:
                 if not items or self.drop_last:
                     return
             yield collate(items)
+        # drain the shard remainder (shard_n % batch_size records) so the
+        # NEXT call starts exactly at grain's own epoch boundary —
+        # otherwise nominal epochs drift across grain's reshuffles and
+        # records get duplicated/skipped within a reported epoch
+        rem = (len(self.ds) // self.world_size) - nb * self.batch_size
+        for _ in range(rem):
+            try:
+                next(self._it)
+            except StopIteration:                      # pragma: no cover
+                return
 
 
 def make_loader(backend: str, *args, **kwargs):

@@ -93,6 +93,21 @@ class _H5ShardDataset:
                 pass
         self._handles.clear()
 
+    # picklable across process boundaries (grain worker processes ship the
+    # dataset inside the _LoadItem transform): drop the lock and any live
+    # h5py handles; workers lazily reopen their own
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_handles"] = {}
+        state.pop("_open_lock", None)
+        return state
+
+    def __setstate__(self, state):
+        import threading
+        self.__dict__.update(state)
+        self._handles = {}
+        self._open_lock = threading.Lock()
+
     def __len__(self) -> int:
         return len(self._index)
 

@@ -172,6 +172,7 @@ def distill_pf(bundle: ModelBundle, state: TrainState,
             opt_state=tx.init(student), step=jnp.zeros((), jnp.int32))
         dstep = make_distill_step(bundle, tx, steps, ema_decay)
         it = 0
+        m = None
         for batch in batches(phase):
             rng, sk = jax.random.split(rng)
             dstate, m = dstep(teacher_pf, dstate, enc_params, enc_stats,
@@ -179,6 +180,9 @@ def distill_pf(bundle: ModelBundle, state: TrainState,
             it += 1
             if it >= steps_per_phase:
                 break
+        if m is None:
+            raise ValueError(f"distill phase {phase}: batches() yielded "
+                             "no batches")
         if verbose:
             print(f"[distill] phase {phase + 1}/{phases}: student at "
                   f"{steps} Euler steps, {it} opt steps, final loss "
@@ -188,4 +192,6 @@ def distill_pf(bundle: ModelBundle, state: TrainState,
                       "batch_stats": teacher_pf["batch_stats"]}
         student = dstate.ema_params
 
-    return student, dstate.ema_params, steps
+    # (live student params, EMA shadow) — distinct trees, mirroring the
+    # train-state convention
+    return dstate.params, dstate.ema_params, steps

@@ -35,6 +35,11 @@ from pcfm.nn.pvconv import PVConv
 from pcfm.nn.shared_mlp import SharedMLP
 
 
+# normalize_coords eps shared by the entry sort, the stage caches and
+# every in-block Voxelization — all three must agree (see ContextNet)
+VOXEL_EPS = 1e-6
+
+
 class PVBlock(nn.Module):
     """PVConv -> SharedMLP(1x1) -> residual FiLM (models.py:349-368)."""
     channels: int
@@ -43,7 +48,7 @@ class PVBlock(nn.Module):
     norm_type: str = "group"
     gn_groups: int = 32
     voxel_normalize: bool = True
-    eps: float = 1e-6
+    eps: float = VOXEL_EPS
     voxel_backend: str = "xla"
     sorted_at_res: int = -1
     dtype: jnp.dtype = jnp.float32
@@ -137,9 +142,13 @@ class ContextNet(nn.Module):
             from pcfm.ops.voxel_sorted import (permute_points,
                                                sort_perm_by_voxel,
                                                unpermute_points)
+            # eps MUST match the in-block Voxelization / stage-cache
+            # normalize (PVBlock.eps): a different denominator can move a
+            # knife-edge point across a voxel boundary, breaking the
+            # contiguous-run assumption of inv_counts_per_point
             perm, inv = sort_perm_by_voxel(
                 x[..., :3], int(self.stage_res[0]),
-                normalize=self.voxel_normalize)
+                normalize=self.voxel_normalize, eps=VOXEL_EPS)
             x = permute_points(x, perm, inv)
 
         coords = x[..., :3]
@@ -176,7 +185,7 @@ class ContextNet(nn.Module):
                 if _use_sorted(self.voxel_backend, rs, b, n):
                     caches[rs] = build_stage_cache(
                         coords, rs, int(self.stage_res[0]),
-                        normalize=self.voxel_normalize, eps=1e-6,
+                        normalize=self.voxel_normalize, eps=VOXEL_EPS,
                         interpret=_interp())
 
         ms_feats = []

@@ -248,7 +248,10 @@ def gather_windows(grid_flat: jax.Array, ids: jax.Array, weights: jax.Array,
     assert w_rows % ALIGN == 0 and all(g % ALIGN == 0 for g in groups), \
         (w_rows, groups)                  # window-start provable alignment
     n_pad = _cdiv(n, TILE) * TILE
-    row_pad = max(groups) + w_rows
+    # worst-case window end: start <= base_max <= r3-1, n_pass covers up to
+    # tmax = base_max + reach, so the last pass reaches
+    # base_max + reach + w_rows, plus the group offset
+    row_pad = max(groups) + w_rows + _cdiv(reach, ALIGN) * ALIGN
     dt = tile_dtype(precision)
     grid_p = jnp.pad(grid_flat.astype(dt),
                      ((0, 0), (0, row_pad), (0, 0)))
@@ -301,7 +304,8 @@ def scatter_windows(updates: jax.Array, ids: jax.Array, weights: jax.Array,
         (w_rows, groups)                  # window-start provable alignment
     r3 = r ** 3
     n_pad = _cdiv(n, TILE) * TILE
-    r3p = r3 + max(groups) + w_rows
+    # see gather_windows row_pad for the bound
+    r3p = r3 + max(groups) + w_rows + _cdiv(reach, ALIGN) * ALIGN
     cb = _block_c(c, r3p)
     dt = tile_dtype(precision)
     upd_p = _pad_axis1(updates.astype(dt), n_pad)

@@ -121,16 +121,18 @@ def inv_counts_per_point(ids_sorted: jax.Array) -> jax.Array:
 def inv_counts_windowed(ids: jax.Array, r: int, w: int,
                         interpret: bool = False) -> jax.Array:
     """Per-point inverse voxel occupancy for ROUGHLY-sorted ids: scatter
-    ones into an 8-lane grid, gather back.  Counts are exact (one-hot x
-    1.0 in bf16 is exact, f32 accumulate)."""
+    ones into an 8-lane grid, gather back.  HIGHEST precision keeps f32
+    window tiles so counts stay EXACT integers — under DEFAULT the count
+    grid would ride bf16 tiles, which round integers above 256 (review
+    r2); these kernels are tiny, the precision costs nothing."""
     b, n = ids.shape
     ones8 = jnp.ones((b, n, 8), jnp.float32)
     onesw = jnp.ones((b, 1, n), jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
     cnt_grid = scatter_windows(ones8, ids[:, None, :], onesw, ids, r, w,
-                               precision=DOT_PRECISION, interpret=interpret)
+                               precision=hi, interpret=interpret)
     cnt_pt = gather_windows(cnt_grid, ids[:, None, :], onesw, ids, r, w,
-                            precision=DOT_PRECISION,
-                            interpret=interpret)[..., 0]
+                            precision=hi, interpret=interpret)[..., 0]
     return 1.0 / jnp.maximum(cnt_pt, 1.0)
 
 

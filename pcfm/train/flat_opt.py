@@ -38,7 +38,6 @@ class FlatAdamWState(NamedTuple):
     count: chex.Array     # int32 step
     m: chex.Array         # first moment, flat
     v: chex.Array         # second moment, flat
-    lr_base: chex.Array   # per-element base LR (constant)
     gnorm: chex.Array     # global grad norm of the LAST update (metric)
 
 
@@ -49,14 +48,21 @@ def flat_adamw(base_lr_tree_fn, total_steps: int, *, b1: float = 0.9,
                warmup_steps: int = 0) -> optax.GradientTransformation:
     """base_lr_tree_fn(params) -> pytree of per-leaf base LR scalars."""
 
+    def _lr_base(params):
+        # rebuilt from the CONFIG each update (a constant under jit, so it
+        # folds into the compiled program) rather than stored in the
+        # checkpointed state — resuming with changed --lr_* must take
+        # effect, matching the optax backend
+        lr, _ = ravel_pytree(jax.tree_util.tree_map(
+            lambda p, b: jnp.full(p.shape, b, jnp.float32),
+            params, base_lr_tree_fn(params)))
+        return lr
+
     def init(params):
         flat, _ = ravel_pytree(params)
-        lr_base, _ = ravel_pytree(jax.tree_util.tree_map(
-            lambda p, lr: jnp.full(p.shape, lr, jnp.float32),
-            params, base_lr_tree_fn(params)))
         return FlatAdamWState(count=jnp.zeros((), jnp.int32),
                               m=jnp.zeros_like(flat),
-                              v=jnp.zeros_like(flat), lr_base=lr_base,
+                              v=jnp.zeros_like(flat),
                               gnorm=jnp.zeros((), jnp.float32))
 
     def update(grads, state, params):
@@ -75,13 +81,14 @@ def flat_adamw(base_lr_tree_fn, total_steps: int, *, b1: float = 0.9,
         if weight_decay:
             p, _ = ravel_pytree(params)
             u = u + weight_decay * p.astype(jnp.float32)
+        lr_base = _lr_base(params)
         if use_cosine:
-            lr = cosine_lr_vec(state.count, total_steps, state.lr_base,
+            lr = cosine_lr_vec(state.count, total_steps, lr_base,
                                min_lr, warmup_steps)
         else:
-            lr = state.lr_base
-        return unravel(-lr * u), FlatAdamWState(
-            count=c, m=m, v=v, lr_base=state.lr_base, gnorm=gnorm)
+            lr = lr_base
+        return unravel(-lr * u), FlatAdamWState(count=c, m=m, v=v,
+                                                gnorm=gnorm)
 
     return optax.GradientTransformation(init, update)
 

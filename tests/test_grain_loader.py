@@ -62,3 +62,52 @@ def test_train_loop_grain_backend(tmp_path):
                  sample_steps=2, loader_backend="grain")
     out = train(cfg, verbose=False)
     assert out["epochs_run"] == 1 and np.isfinite(out["loss"])
+
+
+def test_h5_dataset_pickles_for_workers(tmp_path):
+    """Regression (r2 review): grain worker processes pickle the dataset
+    inside the _LoadItem transform; the H5 base class must drop its lock
+    and live handles."""
+    import pickle
+    import json as _json
+    from pcfm.data.h5_dataset import PartNetH5Dataset
+    from pcfm.data.pack_h5 import pack_ply_to_h5
+    from pcfm.data.synthetic import hinge_shape
+    from pcfm.utils import save_point_cloud_ply_rgb
+
+    rng = np.random.RandomState(0)
+    for pi in range(3):
+        d = tmp_path / "raw" / "model_0" / f"pose_{pi:03d}"
+        d.mkdir(parents=True)
+        xyz, rgb = hinge_shape(rng, 128, 0.4 + 0.2 * pi)
+        save_point_cloud_ply_rgb(xyz, rgb, str(d / "pointcloud.ply"))
+        _json.dump({"angles": [0.4 + 0.2 * pi]},
+                   open(d / "angles.json", "w"))
+    out = tmp_path / "h5"
+    pack_ply_to_h5(str(tmp_path / "raw"), str(out), split="train",
+                   n_points=64, shard_size=4, verbose=False)
+    ds = PartNetH5Dataset(str(out), split="train", tr_sample_size=32,
+                          te_sample_size=32)
+    ds.get(0, np.random.RandomState(0))        # open a live handle + lock
+    ds2 = pickle.loads(pickle.dumps(ds))
+    item = ds2.get(1, np.random.RandomState(1))
+    assert item["train_points"].shape == (32, 3)
+    # grain multiprocess end-to-end over the pickled dataset
+    ld = GrainLoader(ds, batch_size=2, shuffle=True, drop_last=True,
+                     seed=0, num_workers=1)
+    b = next(iter(ld.epoch_batches(0)))
+    assert b["train_points"].shape == (2, 32, 3)
+
+
+def test_grain_epoch_alignment_ragged(ds):
+    """Regression (r2 review): when shard_n % batch_size != 0 the loader
+    must drain the remainder so each nominal epoch covers one full grain
+    reshuffle (no duplicated/missed records across epochs)."""
+    # 12 records, batch 5 -> 2 batches/epoch (10 records) + 2 drained
+    ld = GrainLoader(ds, batch_size=5, shuffle=True, drop_last=True,
+                     seed=1, num_workers=0)
+    e0 = np.concatenate([b["idx"] for b in ld.epoch_batches(0)])
+    e1 = np.concatenate([b["idx"] for b in ld.epoch_batches(1)])
+    assert len(e0) == len(e1) == 10
+    # each epoch's 10 records are drawn from ONE reshuffle: all distinct
+    assert len(np.unique(e0)) == 10 and len(np.unique(e1)) == 10

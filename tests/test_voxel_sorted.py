@@ -219,3 +219,31 @@ def test_default_precision_bf16_tiles(monkeypatch):
         grid.reshape(2, 8, 8, 8, 64), nc, 8))
     got_d = np.asarray(vos.trilinear_devoxelize_sorted(grid, nc, 8, True))
     np.testing.assert_allclose(got_d, want_d, rtol=3e-2, atol=3e-2)
+
+
+def test_window_end_within_padding():
+    """Regression (r2 review): the last pass of the highest group must
+    stay inside the padded grid block for ADVERSARIAL tiles whose ids span
+    to the grid end — (tmax - start) an exact multiple of w_rows used to
+    overrun by `reach` rows (OOB VMEM read in gather, read-modify-write in
+    scatter bwd)."""
+    import pcfm.ops.pallas.voxel_sorted as pvsk
+
+    r, n = 16, 20000
+    r3 = r ** 3
+    reach = r + 1
+    w = pvsk.pick_window(r, n, reach)
+    groups = (0, r * r)
+    # tile base ids spanning e.g. [3856, 4095] makes (tmax - start) hit an
+    # exact w multiple; scan ALL (start_min, base_max) combos to be sure
+    for base_max in range(r3 - 64, r3):
+        for span in range(0, 512, 8):
+            tmin = max(0, base_max - span)
+            base = np.full((1, pvsk.TILE), tmin, np.int32)
+            base[0, -1] = base_max
+            starts, n_pass = pvsk._tile_meta(jnp.asarray(base), w, reach)
+            s = int(starts[0, 0]) * pvsk.ALIGN
+            end = s + max(groups) + int(n_pass[0, 0]) * w
+            r3p = r3 + max(groups) + w + (-(-reach // pvsk.ALIGN)
+                                          ) * pvsk.ALIGN
+            assert end <= r3p, (base_max, span, end, r3p)
