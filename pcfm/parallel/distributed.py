@@ -20,21 +20,35 @@ def init_distributed() -> Tuple[bool, int, int]:
     """Initialize multi-process JAX when the environment asks for it.
 
     Returns (is_distributed, process_index, process_count).
-    """
-    if jax.process_count() > 1:
-        return True, jax.process_index(), jax.process_count()
+
+    NOTE: `jax.distributed.initialize` must run BEFORE anything that
+    initializes the XLA backend — including `jax.process_count()` — so
+    the environment is consulted first and the already-initialized case
+    is detected by the initialize call itself (regression: the old
+    process_count()-first guard broke every real multi-host bootstrap;
+    caught by tests/test_multihost.py)."""
     coord = os.environ.get("COORDINATOR_ADDRESS")
     nproc = os.environ.get("NUM_PROCESSES")
     if coord and nproc:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(nproc),
-            process_id=int(os.environ.get("PROCESS_ID", 0)))
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(nproc),
+                process_id=int(os.environ.get("PROCESS_ID", 0)))
+        except RuntimeError as e:                  # already initialized
+            if "once" not in str(e):
+                raise
         return True, jax.process_index(), jax.process_count()
     if os.environ.get("JAX_AUTO_DISTRIBUTED", "") == "1":
-        jax.distributed.initialize()
+        try:
+            jax.distributed.initialize()
+        except RuntimeError as e:
+            if "once" not in str(e):
+                raise
         return jax.process_count() > 1, jax.process_index(), \
             jax.process_count()
+    if jax.process_count() > 1:        # initialized earlier by the caller
+        return True, jax.process_index(), jax.process_count()
     return False, 0, 1
 
 

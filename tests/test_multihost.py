@@ -1,0 +1,99 @@
+"""Real multi-process test of pcfm.parallel.distributed: two CPU
+processes form a JAX distributed cluster (gloo collectives), build the
+(data,) mesh over the GLOBAL device set, and run a psum + one DP train
+step with host-sharded batches — the torchrun/NCCL analogue end-to-end."""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from pcfm.parallel.distributed import init_distributed, cleanup_distributed
+
+dist, rank, world = init_distributed()
+assert dist and world == 2, (dist, rank, world)
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+devs = jax.devices()                      # global: 2 procs x 2 local
+assert len(devs) == 4, devs
+mesh = Mesh(devs, ("data",))
+
+# cross-process psum via a sharded sum: each process contributes its own
+# local shard values
+import numpy as np
+local = np.full((2, 4), float(rank + 1), np.float32)   # proc r -> r+1
+arr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), local, (4, 4))
+total = float(jax.jit(lambda x: jnp.sum(x),
+                      out_shardings=NamedSharding(mesh, P()))(arr))
+assert total == (1 + 1 + 2 + 2) * 4.0, total
+
+# one DP train step over the global mesh, rank-sharded batch
+from pcfm.config import Config
+from pcfm.train.state import init_state
+from pcfm.train.step import make_train_step
+from pcfm.parallel import replicate_state, shard_batch
+
+cfg = Config(dataset_type="synthetic", pf_backbone="mlp", latent_dim=8,
+             enc_width=8, enc_depth=4, pf_width=16, pf_depth=3,
+             pf_emb_dim=8, lf_width=16, lf_depth=3, lf_emb_dim=8,
+             warmup_steps=0, amp=False, batch_size=4,
+             tr_max_sample_points=16, geom_warmup_epochs=0,
+             cond_dim=0, has_rgb=False)
+bundle, state, tx = init_state(cfg, jax.random.PRNGKey(0), 10)
+state = replicate_state(state, mesh)
+step = make_train_step(bundle, tx, donate=False)
+key = jax.random.PRNGKey(rank)
+import numpy as np
+local_pts = np.random.RandomState(rank).randn(2, 16, 3).astype(np.float32)
+batch = {"pts": jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), local_pts, (4, 16, 3))}
+state, m = step(state, batch, jax.random.PRNGKey(7), jnp.float32(0.0),
+                jnp.float32(0.0))
+loss = float(m["loss"])
+assert np.isfinite(loss), loss
+print(f"OK rank={rank} loss={loss:.4f}", flush=True)
+cleanup_distributed()
+"""
+
+
+def test_two_process_dp_step(tmp_path):
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.update({
+            "COORDINATOR_ADDRESS": f"localhost:{port}",
+            "NUM_PROCESSES": "2",
+            "PROCESS_ID": str(rank),
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=280)
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert f"OK rank={rank}" in out, out
+    # identical replicated loss on both ranks (global-batch semantics)
+    l0 = outs[0].split("loss=")[1].split()[0]
+    l1 = outs[1].split("loss=")[1].split()[0]
+    assert l0 == l1, (l0, l1)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
