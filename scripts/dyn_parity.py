@@ -20,9 +20,14 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+CTX_KW = dict(emb_dim=32, ctx_dim=8, stage_channels=(16, 16),
+              stage_blocks=(1, 1), stage_res=(8, 4), with_se=True,
+              gn_groups=4, with_global=True, t_gate_k=10.0, t_gate_tau=0.8)
+
+
 def run(epochs=80, size=64, n_points=256, batch=8, latent=32, enc_width=32,
         pf_width=64, lf_width=64, emb=32, seed=3, sample_steps=16,
-        out_json=None, verbose=True):
+        out_json=None, verbose=True, backbone="mlp"):
     import jax
     jax.config.update("jax_platforms", "cpu")
     import numpy as np
@@ -42,11 +47,13 @@ def run(epochs=80, size=64, n_points=256, batch=8, latent=32, enc_width=32,
 
     # ---------- torch (reference recipe) ----------
     t0 = time.time()
+    ctx_kw = dict(CTX_KW, emb_dim=emb) if backbone == "hybrid" else None
     tr = run_torch_training(loader, epochs, latent_dim=latent,
                             enc_width=enc_width, pf_width=pf_width,
                             pf_emb=emb, lf_width=lf_width, lf_emb=emb,
                             cond_dim=1, warmup=20,
-                            sample_steps=sample_steps, seed=seed)
+                            sample_steps=sample_steps, seed=seed,
+                            backbone=backbone, ctx_kw=ctx_kw)
     d1t, d2t, _, _ = chamfer_np(tr["pred"], tr["gt"])
     cd_torch = float(d1t.mean() + d2t.mean())
     t_torch = time.time() - t0
@@ -65,7 +72,19 @@ def run(epochs=80, size=64, n_points=256, batch=8, latent=32, enc_width=32,
     from pcfm.train.evaluate import make_recon_fn
     from pcfm.train.state import ModelBundle
 
-    cfg = Config(dataset_type="synthetic", pf_backbone="mlp",
+    hybrid_cfg = {}
+    if backbone == "hybrid":
+        hybrid_cfg = dict(ctx_dim=CTX_KW["ctx_dim"], ctx_emb_dim=emb,
+                          ctx_stage_channels=list(CTX_KW["stage_channels"]),
+                          ctx_stage_blocks=list(CTX_KW["stage_blocks"]),
+                          ctx_stage_res=list(CTX_KW["stage_res"]),
+                          ctx_with_se=True, ctx_norm="group",
+                          ctx_gn_groups=CTX_KW["gn_groups"],
+                          ctx_with_global=True,
+                          ctx_t_gate_k=CTX_KW["t_gate_k"],
+                          ctx_t_gate_tau=CTX_KW["t_gate_tau"],
+                          ctx_dtype="fp32", voxel_backend="xla")
+    cfg = Config(dataset_type="synthetic", pf_backbone=backbone,
                  latent_dim=latent, enc_width=enc_width, enc_depth=4,
                  pf_width=pf_width, pf_depth=3, pf_emb_dim=emb,
                  lf_width=lf_width, lf_depth=3, lf_emb_dim=emb,
@@ -73,7 +92,8 @@ def run(epochs=80, size=64, n_points=256, batch=8, latent=32, enc_width=32,
                  batch_size=batch, cfg_drop_p=0.0, geom_warmup_epochs=0,
                  pointflow_rgb=False, use_rgb_in_latent=False,
                  has_rgb=False, cond_dim=1, seed=seed,
-                 sampler="euler", sample_steps=sample_steps, t_beta_a=2.0)
+                 sampler="euler", sample_steps=sample_steps, t_beta_a=2.0,
+                 **hybrid_cfg)
 
     t0 = time.time()
     rng = jax.random.PRNGKey(seed)
@@ -148,6 +168,8 @@ if __name__ == "__main__":
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--n_points", type=int, default=256)
     ap.add_argument("--out_json", type=str, default="docs/dyn_parity.json")
+    ap.add_argument("--backbone", type=str, default="mlp",
+                    choices=["mlp", "hybrid"])
     a = ap.parse_args()
     run(epochs=a.epochs, size=a.size, n_points=a.n_points,
-        out_json=a.out_json)
+        out_json=a.out_json, backbone=a.backbone)

@@ -25,3 +25,19 @@ def test_training_dynamics_match_reference_recipe():
     cd_t, cd_p = out["torch"]["recon_cd"], out["pcfm"]["recon_cd"]
     assert cd_p < 3.0 and cd_t < 3.0, (cd_t, cd_p)
     assert max(cd_p, cd_t) / max(1e-9, min(cd_p, cd_t)) < 2.5, (cd_t, cd_p)
+
+
+@pytest.mark.slow
+def test_hybrid_training_dynamics_match_reference_recipe():
+    """Same gate for the FLAGSHIP backbone: HybridMLP (PVConv ContextNet)
+    under the reference recipe vs the torch hybrid mirror.  The full
+    80-epoch run is recorded in docs/dyn_parity_hybrid.json."""
+    from scripts.dyn_parity import run
+    out = run(epochs=30, size=32, n_points=128, batch=8, latent=32,
+              enc_width=32, pf_width=64, lf_width=64, emb=32,
+              sample_steps=8, verbose=False, backbone="hybrid")
+    assert out["rel_diff_lp_last5"] < 0.2, out
+    assert out["rel_diff_ll_last5"] < 0.35, out
+    cd_t, cd_p = out["torch"]["recon_cd"], out["pcfm"]["recon_cd"]
+    assert cd_p < 3.0 and cd_t < 3.0, (cd_t, cd_p)
+    assert max(cd_p, cd_t) / max(1e-9, min(cd_p, cd_t)) < 2.5, (cd_t, cd_p)

@@ -60,6 +60,38 @@ def reference_init_(enc: ShapeEncoderT, pf: VelocityNetT,
         torch.nn.init.zeros_(film.affine.bias)
 
 
+def reference_init_hybrid_(pf) -> None:
+    """Reference inits for HybridMLPT (models.py:392-601): zero-init
+    ContextNet output head + FiLM1d affines (identity start), normal(0.02)
+    t/c projections, kaiming+zero-bias on the head trunk, zero FiLM
+    affine bias in the head."""
+    ctx, head = pf.ctx_net, pf.head
+    for net in (ctx, head):
+        torch.nn.init.normal_(net.t_proj.weight, std=0.02)
+        torch.nn.init.zeros_(net.t_proj.bias)
+        torch.nn.init.normal_(net.c_proj.weight, std=0.02)
+        torch.nn.init.zeros_(net.c_proj.bias)
+    torch.nn.init.zeros_(ctx.head_out.weight)
+    torch.nn.init.zeros_(ctx.head_out.bias)
+    for blocks in ctx.stage_blocks:
+        for blk in blocks:
+            torch.nn.init.zeros_(blk.film.affine.weight)
+            torch.nn.init.zeros_(blk.film.affine.bias)
+    torch.nn.init.kaiming_normal_(head.input.weight, nonlinearity="relu")
+    torch.nn.init.zeros_(head.input.bias)
+    for blk in head.blocks:
+        for l in blk:
+            if isinstance(l, torch.nn.Linear):
+                torch.nn.init.kaiming_normal_(l.weight,
+                                              nonlinearity="relu")
+                torch.nn.init.zeros_(l.bias)
+    for l in head.out:
+        if isinstance(l, torch.nn.Linear):
+            torch.nn.init.zeros_(l.bias)
+    for film in head.films:
+        torch.nn.init.zeros_(film.affine.bias)
+
+
 class EmaT:
     """Reference EMA shadow (train.py:212-231)."""
 
@@ -89,14 +121,49 @@ def run_torch_training(loader, epochs: int, latent_dim: int = 32,
                        cond_dim: int = 1, lr: float = 3e-4,
                        warmup: int = 20, t_beta_a: float = 2.0,
                        grad_clip: float = 1.0, ema_decay: float = 0.999,
-                       sample_steps: int = 16, seed: int = 0) -> Dict:
+                       sample_steps: int = 16, seed: int = 0,
+                       backbone: str = "mlp",
+                       ctx_kw: Dict = None) -> Dict:
     """Train the mirrors with the reference recipe; returns loss curves and
     the EMA euler recon CD on the training data's test split."""
     torch.manual_seed(seed)
     enc = ShapeEncoderT(latent_dim, enc_width, enc_depth, 3)
-    pf = VelocityNetT(latent_dim + cond_dim, pf_width, pf_depth, pf_emb, 3)
+    if backbone == "hybrid":
+        from tests.torch_mirror_hybrid import HybridMLPT
+        ctx_kw = dict(ctx_kw or {})
+        head_kw = dict(ctx_dim=ctx_kw.get("ctx_dim", 8), width=pf_width,
+                       depth=pf_depth, emb_dim=pf_emb)
+        pf = HybridMLPT(latent_dim + cond_dim, 3, ctx_kw, head_kw)
+    else:
+        pf = VelocityNetT(latent_dim + cond_dim, pf_width, pf_depth,
+                          pf_emb, 3)
     lf = LatentVelocityNetT(latent_dim, 0, lf_width, lf_depth, lf_emb)
-    reference_init_(enc, pf, lf)
+    if backbone == "hybrid":
+        for m in list(enc.mlp) + list(enc.head):
+            if isinstance(m, torch.nn.Linear):
+                torch.nn.init.kaiming_normal_(m.weight,
+                                              nonlinearity="relu")
+                torch.nn.init.zeros_(m.bias)
+        reference_init_hybrid_(pf)
+        for net in (lf,):
+            torch.nn.init.normal_(net.t_proj.weight, std=0.02)
+            torch.nn.init.zeros_(net.t_proj.bias)
+            torch.nn.init.normal_(net.c_proj.weight, std=0.02)
+            torch.nn.init.zeros_(net.c_proj.bias)
+            torch.nn.init.kaiming_normal_(net.input.weight,
+                                          nonlinearity="relu")
+            torch.nn.init.zeros_(net.input.bias)
+            for blk in net.blocks:
+                for l in blk:
+                    if isinstance(l, torch.nn.Linear):
+                        torch.nn.init.kaiming_normal_(
+                            l.weight, nonlinearity="relu")
+                        torch.nn.init.zeros_(l.bias)
+            for l in net.out:
+                if isinstance(l, torch.nn.Linear):
+                    torch.nn.init.zeros_(l.bias)
+    else:
+        reference_init_(enc, pf, lf)
     opt = torch.optim.AdamW([
         {"params": enc.parameters(), "lr": lr},
         {"params": pf.parameters(), "lr": lr},
