@@ -97,6 +97,10 @@ def main():
                              b, n)
         print(f"[bench] sampler (Heun x50, 100 NFE/flow): "
               f"{samp*1e3:.1f} ms/shape @ 20k pts", file=sys.stderr)
+        fast = bench_sampler(cfg.replace(sample_steps=6, sampler="euler"),
+                             b, n)
+        print(f"[bench] sampler (euler x6 — the pcfm.distill student "
+              f"NFE): {fast*1e3:.1f} ms/shape @ 20k pts", file=sys.stderr)
     except Exception as e:  # secondary metric; never fail the bench
         print(f"[bench] sampler bench failed: {e}", file=sys.stderr)
 
