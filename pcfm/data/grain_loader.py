@@ -41,6 +41,24 @@ class _IndexSource:
         return int(i)
 
 
+def _make_load_item(dataset):
+    """grain RandomMapTransform running the per-item pipeline.  Built at
+    module level holding ONLY the dataset (the transform is pickled to
+    every worker process — a closure over __init__ would drag the whole
+    loader scope along)."""
+    import grain.python as pg
+
+    class _LoadItem(pg.RandomMapTransform):
+        def __init__(self):
+            self.ds = dataset
+
+        def random_map(self, idx, rng: np.random.Generator):
+            rs = np.random.RandomState(int(rng.integers(0, 2 ** 31 - 1)))
+            return self.ds.get(int(idx), rs)
+
+    return _LoadItem()
+
+
 class GrainLoader:
     """Drop-in for pcfm.data.loader.DataLoader backed by grain."""
 
@@ -55,17 +73,6 @@ class GrainLoader:
         self.drop_last = bool(drop_last)
         self.world_size = max(1, int(world_size))
 
-        ds_ref = dataset
-
-        class _LoadItem(pg.RandomMapTransform):
-            def random_map(self, idx, rng: np.random.Generator):
-                rs = np.random.RandomState(
-                    int(rng.integers(0, 2 ** 31 - 1)))
-                item = ds_ref.get(int(idx), rs)
-                # grain pickles items between processes; strings survive,
-                # but keep the payload to what collate() consumes
-                return item
-
         sampler = pg.IndexSampler(
             num_records=len(dataset),
             shard_options=pg.ShardOptions(
@@ -74,7 +81,8 @@ class GrainLoader:
             shuffle=bool(shuffle), num_epochs=None, seed=int(seed))
         self._loader = pg.DataLoader(
             data_source=_IndexSource(len(dataset)), sampler=sampler,
-            operations=[_LoadItem()], worker_count=max(0, int(num_workers)),
+            operations=[_make_load_item(dataset)],
+            worker_count=max(0, int(num_workers)),
             worker_buffer_size=max(1, int(prefetch)))
         self._it = None
 

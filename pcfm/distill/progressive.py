@@ -88,14 +88,8 @@ def make_distill_step(bundle: ModelBundle, tx: optax.GradientTransformation,
             enc_in = pts
         z, _, _ = bundle.apply_enc(enc_params, enc_stats, enc_in,
                                    train=False)
-        cond = batch.get("cond")
-        if cond is not None:
-            cond_full = jnp.concatenate([z, cond.astype(z.dtype)], axis=1)
-        elif cfg.cond_dim > 0:
-            cond_full = jnp.concatenate(
-                [z, jnp.zeros((b, cfg.cond_dim), z.dtype)], axis=1)
-        else:
-            cond_full = z
+        from pcfm.train.evaluate import _cond_full
+        cond_full = _cond_full(cfg, z, batch.get("cond"))
 
         x0 = make_pf_prior(k_prior, (b, n, cfg.pf_point_dim),
                            cfg.point_prior_std, cfg.color_prior,

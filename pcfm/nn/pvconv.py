@@ -21,8 +21,7 @@ from flax import linen as nn
 from pcfm.nn.se import SE3d
 from pcfm.nn.shared_mlp import SharedMLP
 from pcfm.ops.voxel import (DENSE_R3_MAX, avg_voxelize, avg_voxelize_dense,
-                            flatten_voxel_ids, normalize_coords,
-                            trilinear_devoxelize,
+                            normalize_coords, trilinear_devoxelize,
                             trilinear_devoxelize_dense)
 from pcfm.parallel.sp_context import sp_mesh_for
 

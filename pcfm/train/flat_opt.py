@@ -83,23 +83,16 @@ def flat_adamw(base_lr_tree_fn, total_steps: int, *, b1: float = 0.9,
             u = u + weight_decay * p.astype(jnp.float32)
         lr_base = _lr_base(params)
         if use_cosine:
-            lr = cosine_lr_vec(state.count, total_steps, lr_base,
-                               min_lr, warmup_steps)
+            # state.cosine_lr broadcasts over a per-element base-LR vector
+            from pcfm.train.state import cosine_lr
+            lr = cosine_lr(state.count, total_steps, lr_base, min_lr,
+                           warmup_steps)
         else:
             lr = lr_base
         return unravel(-lr * u), FlatAdamWState(count=c, m=m, v=v,
                                                 gnorm=gnorm)
 
     return optax.GradientTransformation(init, update)
-
-
-def cosine_lr_vec(step, total: int, base_lr, min_lr: float, warmup: int):
-    """Vectorized warmup+cosine (state.cosine_lr over a base-LR vector)."""
-    step = jnp.asarray(step, jnp.float32)
-    warm = min_lr + (base_lr - min_lr) * step / max(1, warmup)
-    t = (step - warmup) / max(1, total - warmup)
-    cos = min_lr + 0.5 * (base_lr - min_lr) * (1 + jnp.cos(jnp.pi * t))
-    return jnp.where(step < warmup, warm, cos)
 
 
 def opt_grad_norm(opt_state) -> jax.Array | None:

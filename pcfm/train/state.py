@@ -153,7 +153,7 @@ def make_optimizer(cfg: Config, total_steps: int) -> optax.GradientTransformatio
     raveled update instead of ~10 ops x ~400 leaves of dispatch;
     ``cfg.flat_optimizer=False`` selects the leaf-wise optax chain (kept
     for cross-checking — `tests/test_flat_opt.py` proves equality)."""
-    if getattr(cfg, "flat_optimizer", True):
+    if cfg.flat_optimizer:
         from pcfm.train.flat_opt import flat_adamw
 
         def base_lrs(params):

@@ -14,12 +14,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
-float(jnp.sum(jnp.ones((8, 8))))
-print("[r2] device:", jax.devices()[0], flush=True)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from steplib import claim_device, headline_cfg, time_train_step
 
-from pcfm.config import Config
-from pcfm.train.state import init_state
-from pcfm.train.step import make_train_step
+claim_device()
 
 RES = {}
 T0 = time.perf_counter()
@@ -37,34 +35,9 @@ def left():
     return BUDGET - (time.perf_counter() - T0)
 
 
-def time_step(backbone, iters=15):
-    b, n = 8, 20000
-    cfg = Config(pf_backbone=backbone, latent_dim=128, has_rgb=True,
-                 cond_dim=1, pointflow_rgb=True, use_rgb_in_latent=True,
-                 amp=True, use_bf16=True, tr_max_sample_points=n,
-                 batch_size=b, warmup_steps=0)
-    bundle, state, tx = init_state(cfg, jax.random.PRNGKey(0), 1000)
-    step = make_train_step(bundle, tx, donate=True)
-    key = jax.random.PRNGKey(1)
-    batch = jax.device_put(
-        {"pts": jax.random.normal(key, (b, n, 3), jnp.float32),
-         "rgb": jax.random.uniform(key, (b, n, 3), jnp.float32),
-         "cond": jax.random.normal(key, (b, 1), jnp.float32)})
-    c_on, d_p = jnp.float32(1.0), jnp.float32(0.1)
-    rngs = [jax.random.fold_in(key, i) for i in range(40)]
-    for i in range(4):
-        state, m = step(state, batch, rngs[i], c_on, d_p)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = step(state, batch, rngs[4 + i], c_on, d_p)
-    float(m["loss"])
-    return (time.perf_counter() - t0) / iters * 1e3
-
-
-rec("hybrid_ms_per_step", time_step("hybrid"))
+rec("hybrid_ms_per_step", time_train_step(headline_cfg("hybrid")))
 if left() > 200:
-    rec("mlp_ms_per_step", time_step("mlp", iters=30))
+    rec("mlp_ms_per_step", time_train_step(headline_cfg("mlp"), iters=30))
 
 if left() > 120:
     from pcfm.ops.emd import earth_mover_distance_streamed
