@@ -202,10 +202,13 @@ def _tile_meta(base_pad: jax.Array, w_rows: int,
 
 
 def _block_c(c: int, r3_pad: int) -> int:
-    """Channel block: c itself up to 128 (full-dim minor blocks are always
-    legal), else exactly 128 — wider minor dims crash the remote Mosaic
-    compiler (measured: c=256 blocks HTTP-500 consistently, 128 compile)."""
-    return c if c <= 128 else 128
+    """Channel block: c itself up to 256, else 256.  Wider blocks halve
+    the per-channel-block duplication of the multi-hot build + window DMA
+    (C=256 stages run ONE grid pass instead of two): hybrid 20k step
+    105.5 -> 103.0 ms.  c=256 used to HTTP-500 the remote Mosaic compiler
+    pre-ALIGN/bf16 rework; it compiles and matches the oracle now
+    (probe 2026-08-17).  512-wide untested — keep 256 until measured."""
+    return c if c <= 256 else 256
 
 
 def _prep(ids, weights, base_ids, n_pad, k, bsz, dt=jnp.float32):

@@ -247,3 +247,19 @@ def test_window_end_within_padding():
             r3p = r3 + max(groups) + w + (-(-reach // pvsk.ALIGN)
                                           ) * pvsk.ALIGN
             assert end <= r3p, (base_max, span, end, r3p)
+
+
+def test_wide_channel_block():
+    """c in (128, 256]: a single 256-wide channel block (r2: wider blocks
+    halve the multi-hot/DMA duplication; exercise the padded c=200 case
+    through both kernels)."""
+    _, nc, vc, ids, _ = _setup(n=300)
+    feats = jax.random.normal(jax.random.PRNGKey(5), (2, 300, 200))
+    want = np.asarray(avg_voxelize(feats, vc, 8)).reshape(2, 512, 200)
+    got = np.asarray(avg_voxelize_sorted(feats, ids, 8, True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    grid = jnp.asarray(want)
+    want_d = np.asarray(trilinear_devoxelize(
+        grid.reshape(2, 8, 8, 8, 200), nc, 8))
+    got_d = np.asarray(trilinear_devoxelize_sorted(grid, nc, 8, True))
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-4)
