@@ -37,6 +37,8 @@ def main(argv: Optional[Sequence[str]] = None):
                    choices=["recon", "gen", "both", "suite"])
     p.add_argument("--suite_size", type=int, default=0,
                    help="suite mode: clouds per set (0 = whole test set)")
+    p.add_argument("--suite_emd", action="store_true",
+                   help="suite mode: also compute MMD/COV/1-NNA under EMD")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--max_batches", type=int, default=0,
                    help="0 = whole test set")
@@ -84,7 +86,8 @@ def main(argv: Optional[Sequence[str]] = None):
                 break
         ref = np.concatenate(refs)[:args.suite_size or None]
         gen = np.concatenate(gens)[:args.suite_size or None]
-        suite = generative_metrics(gen, ref)
+        suite = generative_metrics(
+            gen, ref, metrics=("cd", "emd") if args.suite_emd else ("cd",))
         out = {"epoch": ep, "sampler": cfg.sampler,
                "steps": cfg.sample_steps, "n_clouds": int(ref.shape[0]),
                **{k: round(v, 6) for k, v in suite.items()}}

@@ -83,22 +83,34 @@ def aggregate(metric_batches: Iterable[Dict[str, jax.Array]]) -> Dict[str, float
 # reference repo only ever reports paired CD on a fixed val batch.)
 # ---------------------------------------------------------------------------
 
-def cd_matrix(a: jax.Array, b: jax.Array, pair_block: int = 8) -> np.ndarray:
-    """Pairwise symmetric-Chamfer matrix between cloud sets.
+def cd_matrix(a: jax.Array, b: jax.Array, pair_block: int = 8,
+              metric: str = "cd") -> np.ndarray:
+    """Pairwise cloud-distance matrix between sets.
 
-    a (Ga, N, 3), b (Gb, M, 3) -> (Ga, Gb) float64 numpy, entry =
-    mean(min-d2 a->b) + mean(min-d2 b->a) (the train-time chamfer_l2
-    convention, train.py:80-84).
+    a (Ga, N, 3), b (Gb, M, 3) -> (Ga, Gb) float64 numpy.
+    metric="cd": mean(min-d2 a->b) + mean(min-d2 b->a) (the train-time
+    chamfer_l2 convention, train.py:80-84); metric="emd": approxmatch
+    EMD cost / N (PyTorchEMD emd.py:27-51 convention).
     """
     a = jnp.asarray(a[..., :3], jnp.float32)
     b = jnp.asarray(b[..., :3], jnp.float32)
     ga, gb = a.shape[0], b.shape[0]
 
-    @jax.jit
-    def one_row(x, ys):
-        xs = jnp.broadcast_to(x[None], (ys.shape[0],) + x.shape)
-        d1, d2, _, _ = chamfer_distance(xs, ys)
-        return jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)
+    if metric == "cd":
+        @jax.jit
+        def one_row(x, ys):
+            xs = jnp.broadcast_to(x[None], (ys.shape[0],) + x.shape)
+            d1, d2, _, _ = chamfer_distance(xs, ys)
+            return jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)
+    elif metric == "emd":
+        from pcfm.ops.emd import earth_mover_distance
+
+        @jax.jit
+        def one_row(x, ys):
+            xs = jnp.broadcast_to(x[None], (ys.shape[0],) + x.shape)
+            return earth_mover_distance(xs, ys)
+    else:
+        raise ValueError(f"unknown metric '{metric}'")
 
     out = np.zeros((ga, gb), np.float64)
     pad = (-gb) % pair_block
@@ -113,8 +125,10 @@ def cd_matrix(a: jax.Array, b: jax.Array, pair_block: int = 8) -> np.ndarray:
 
 
 def generative_metrics(gen: jax.Array, ref: jax.Array,
-                       pair_block: int = 8) -> Dict[str, float]:
-    """MMD-CD, COV-CD and 1-NNA-CD between generated and reference sets.
+                       pair_block: int = 8,
+                       metrics: tuple = ("cd",)) -> Dict[str, float]:
+    """MMD / COV / 1-NNA between generated and reference sets, per
+    distance metric in ``metrics`` ("cd" and/or "emd").
 
     * MMD (quality): mean over REFERENCE clouds of the distance to their
       nearest generated cloud — lower is better.
@@ -123,19 +137,19 @@ def generative_metrics(gen: jax.Array, ref: jax.Array,
     * 1-NNA (both): leave-one-out 1-NN two-sample classification accuracy
       over the union — 0.5 is ideal (sets indistinguishable).
     """
-    d_gr = cd_matrix(gen, ref, pair_block)              # (G, R)
-    mmd = float(d_gr.min(axis=0).mean())
-    cov = float(len(np.unique(d_gr.argmin(axis=1))) / d_gr.shape[1])
+    out: Dict[str, float] = {}
+    for m in metrics:
+        d_gr = cd_matrix(gen, ref, pair_block, metric=m)      # (G, R)
+        out[f"mmd_{m}"] = float(d_gr.min(axis=0).mean())
+        out[f"cov_{m}"] = float(len(np.unique(d_gr.argmin(axis=1)))
+                                / d_gr.shape[1])
 
-    d_gg = cd_matrix(gen, gen, pair_block)
-    d_rr = cd_matrix(ref, ref, pair_block)
-    np.fill_diagonal(d_gg, np.inf)
-    np.fill_diagonal(d_rr, np.inf)
-    # nearest same-set vs cross-set distance per sample
-    gen_self = d_gg.min(axis=1)
-    gen_cross = d_gr.min(axis=1)
-    ref_self = d_rr.min(axis=1)
-    ref_cross = d_gr.min(axis=0)
-    correct = (gen_self < gen_cross).sum() + (ref_self < ref_cross).sum()
-    nna = float(correct / (d_gr.shape[0] + d_gr.shape[1]))
-    return {"mmd_cd": mmd, "cov_cd": cov, "nna_cd": nna}
+        d_gg = cd_matrix(gen, gen, pair_block, metric=m)
+        d_rr = cd_matrix(ref, ref, pair_block, metric=m)
+        np.fill_diagonal(d_gg, np.inf)
+        np.fill_diagonal(d_rr, np.inf)
+        # nearest same-set vs cross-set distance per sample
+        correct = (d_gg.min(axis=1) < d_gr.min(axis=1)).sum() \
+            + (d_rr.min(axis=1) < d_gr.min(axis=0)).sum()
+        out[f"nna_{m}"] = float(correct / (d_gr.shape[0] + d_gr.shape[1]))
+    return out

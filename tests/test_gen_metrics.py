@@ -58,3 +58,16 @@ def test_eval_cli_suite_mode(tmp_path):
     for k in ("mmd_cd", "cov_cd", "nna_cd"):
         assert np.isfinite(res[k])
     assert 0.0 <= res["cov_cd"] <= 1.0 and 0.0 <= res["nna_cd"] <= 1.0
+
+
+def test_suite_emd_metric():
+    """metrics=("cd","emd"): identical sets indistinguishable under both;
+    a shifted set detected under both."""
+    a = _clouds(jax.random.PRNGKey(4), 6, n=32)
+    m = generative_metrics(a.copy(), a.copy(), pair_block=3,
+                           metrics=("cd", "emd"))
+    assert m["mmd_cd"] < 1e-5 and m["mmd_emd"] < 1e-3
+    assert m["cov_cd"] == m["cov_emd"] == 1.0
+    far = _clouds(jax.random.PRNGKey(5), 6, n=32, shift=5.0)
+    m2 = generative_metrics(far, a, pair_block=3, metrics=("emd",))
+    assert m2["mmd_emd"] > 1.0 and m2["nna_emd"] > 0.9
