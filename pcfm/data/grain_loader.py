@@ -66,25 +66,42 @@ class GrainLoader:
                  drop_last: bool = True, seed: int = 0,
                  num_workers: int = 0, rank: int = 0, world_size: int = 1,
                  prefetch: int = 4):
-        import grain.python as pg
-
         self.ds = dataset
         self.batch_size = int(batch_size)
         self.drop_last = bool(drop_last)
         self.world_size = max(1, int(world_size))
+        self.shuffle = bool(shuffle)
+        self.seed = int(seed)
+        self.rank = int(rank)
+        self.num_workers = max(0, int(num_workers))
+        self.prefetch = max(1, int(prefetch))
 
-        sampler = pg.IndexSampler(
-            num_records=len(dataset),
-            shard_options=pg.ShardOptions(
-                shard_index=int(rank), shard_count=self.world_size,
-                drop_remainder=True),
-            shuffle=bool(shuffle), num_epochs=None, seed=int(seed))
-        self._loader = pg.DataLoader(
-            data_source=_IndexSource(len(dataset)), sampler=sampler,
-            operations=[_make_load_item(dataset)],
-            worker_count=max(0, int(num_workers)),
-            worker_buffer_size=max(1, int(prefetch)))
+        if self.drop_last:
+            # persistent infinite stream; epoch_batches consumes exactly
+            # one grain epoch per call (nb batches + shard remainder)
+            self._loader = self._make_loader(num_epochs=None,
+                                             seed=self.seed)
+        else:
+            # drop_last=False needs a REAL epoch boundary (StopIteration)
+            # for the partial tail batch — an infinite sampler would fill
+            # the tail with next-epoch records and skip the remainder
+            # drain (ADVICE r2); build one finite loader per epoch instead
+            self._loader = None
         self._it = None
+
+    def _make_loader(self, num_epochs, seed):
+        import grain.python as pg
+        sampler = pg.IndexSampler(
+            num_records=len(self.ds),
+            shard_options=pg.ShardOptions(
+                shard_index=self.rank, shard_count=self.world_size,
+                drop_remainder=True),
+            shuffle=self.shuffle, num_epochs=num_epochs, seed=seed)
+        return pg.DataLoader(
+            data_source=_IndexSource(len(self.ds)), sampler=sampler,
+            operations=[_make_load_item(self.ds)],
+            worker_count=self.num_workers,
+            worker_buffer_size=self.prefetch)
 
     def __len__(self) -> int:
         n = len(self.ds) // self.world_size
@@ -93,6 +110,20 @@ class GrainLoader:
         return -(-n // self.batch_size)
 
     def epoch_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        if not self.drop_last:
+            # fresh single-epoch stream, reshuffled by epoch; the final
+            # partial batch comes out of the natural StopIteration
+            it = iter(self._make_loader(num_epochs=1,
+                                        seed=self.seed + int(epoch)))
+            items = []
+            for rec in it:
+                items.append(rec)
+                if len(items) == self.batch_size:
+                    yield collate(items)
+                    items = []
+            if items:
+                yield collate(items)
+            return
         if self._it is None:
             self._it = iter(self._loader)
         nb = len(self)
@@ -102,8 +133,7 @@ class GrainLoader:
                 for _ in range(self.batch_size):
                     items.append(next(self._it))
             except StopIteration:                      # pragma: no cover
-                if not items or self.drop_last:
-                    return
+                return
             yield collate(items)
         # drain the shard remainder (shard_n % batch_size records) so the
         # NEXT call starts exactly at grain's own epoch boundary —

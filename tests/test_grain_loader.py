@@ -43,6 +43,23 @@ def test_grain_loader_sharding(ds):
     assert len(i0) == len(i1) == 6
 
 
+def test_grain_loader_partial_tail(ds):
+    """Regression (ADVICE r2): drop_last=False must emit a true partial
+    tail batch from a finite one-epoch sampler — not silently fill it
+    with next-epoch records from an infinite stream."""
+    # 12 records, batch 5 -> 2 full batches + tail of 2
+    ld = GrainLoader(ds, batch_size=5, shuffle=True, drop_last=False,
+                     seed=2, num_workers=0)
+    assert len(ld) == 3
+    batches = list(ld.epoch_batches(0))
+    assert [b["idx"].shape[0] for b in batches] == [5, 5, 2]
+    e0 = np.concatenate([b["idx"] for b in batches])
+    assert len(np.unique(e0)) == 12          # exactly one epoch, no dups
+    # second epoch: full coverage again, reshuffled independently
+    e1 = np.concatenate([b["idx"] for b in ld.epoch_batches(1)])
+    assert len(np.unique(e1)) == 12 and len(e1) == 12
+
+
 def test_make_loader_thread_fallback(ds):
     ld = make_loader("thread", ds, 4, shuffle=False, drop_last=True,
                      seed=0, num_workers=0)
