@@ -61,8 +61,13 @@ def main(argv: Optional[Sequence[str]] = None):
 
     new_params = dict(state.params)
     new_params["pf"] = pf_params
+    # the student was distilled against the EMA teacher's batch_stats
+    # (distill_pf use_ema_teacher=True) — pair the live student with those
+    # same stats so --no_ema_eval doesn't mix it with stale live BN stats
+    new_bs = dict(state.batch_stats)
+    new_bs["pf"] = state.ema_pf["batch_stats"]
     new_state = state.replace(
-        params=new_params,
+        params=new_params, batch_stats=new_bs,
         ema_pf={"params": pf_ema,
                 "batch_stats": state.ema_pf["batch_stats"]})
     new_cfg = cfg.replace(sampler="euler", sample_steps=steps)

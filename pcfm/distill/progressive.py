@@ -146,6 +146,10 @@ def distill_pf(bundle: ModelBundle, state: TrainState,
     (drop-in replacements for state.params['pf'] / ema_pf['params']) and
     its Euler step count base_steps // 2^phases.
     """
+    if phases < 1:
+        raise ValueError(f"distill_pf: phases must be >= 1, got {phases} "
+                         "(each phase halves the NFE; 0 phases would be a "
+                         "no-op)")
     rng = jax.random.PRNGKey(0) if rng is None else rng
     teacher_pf = {
         "params": state.ema_pf["params"] if use_ema_teacher

@@ -139,9 +139,21 @@ def restore(path: str, state: TrainState) -> Tuple[TrainState, dict]:
     the same config).  Returns (state, meta)."""
     wait_for_saves()
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.join(os.path.abspath(path), "state"),
-                                 abstract)
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                os.path.join(os.path.abspath(path), "state"), abstract)
+    except Exception as e:  # noqa: BLE001 — re-raise with actionable hint
+        if "opt_state" in str(e):
+            raise type(e)(
+                f"{e}\n[pcfm] The checkpoint's optimizer-state tree does "
+                "not match this run's. Most likely the checkpoint was "
+                "trained with the other optimizer backend "
+                "(cfg.flat_optimizer flipped default to True in r2) — "
+                "retry with --no_flat_optimizer (or --flat_optimizer), or "
+                "use the tolerant auto-resume path which resets the "
+                "optimizer state instead.") from e
+        raise
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     return restored, meta

@@ -100,6 +100,16 @@ def test_distill_improves_jump_match(trained_run):
             == jax.tree_util.tree_structure(state.params["pf"]))
 
 
+def test_distill_phases_zero_rejected(trained_run):
+    """Regression (ADVICE r2): phases=0 raised NameError (dstate unbound)
+    instead of a clear error."""
+    from pcfm.sample.cli import load_run
+    cfg, bundle, state, _ = load_run(trained_run)
+    with pytest.raises(ValueError, match="phases must be >= 1"):
+        distill_pf(bundle, state, lambda p: iter(()), phases=0,
+                   verbose=False)
+
+
 def test_distill_cli_roundtrip(trained_run, tmp_path):
     from pcfm.distill.cli import main as distill_main
     save = str(tmp_path / "distilled")
@@ -107,6 +117,29 @@ def test_distill_cli_roundtrip(trained_run, tmp_path):
         ["--out_dir", trained_run, "--save_dir", save, "--phases", "2",
          "--steps_per_phase", "10"])
     assert steps == 1                      # 4 -> 2 -> 1
+
+def test_distill_cli_hybrid_bn_stats(tmp_path):
+    """Regression (ADVICE r2): for a BN-bearing (hybrid) run the distilled
+    checkpoint's LIVE batch_stats['pf'] must be the EMA stats the student
+    was distilled against, not the teacher run's stale live stats."""
+    out = str(tmp_path / "hy_run")
+    cfg = Config(epochs=1, save_every=1, out_dir=out,
+                 **{**CFG, "pf_backbone": "hybrid", "ctx_dim": 8,
+                    "ctx_emb_dim": 16, "ctx_stage_channels": [8],
+                    "ctx_stage_blocks": [1], "ctx_stage_res": [4],
+                    "sample_steps": 2, "vis_count": 0})
+    train(cfg, verbose=False)
+    from pcfm.distill.cli import main as distill_main
+    save = str(tmp_path / "hy_distilled")
+    distill_main(["--out_dir", out, "--save_dir", save, "--phases", "1",
+                  "--steps_per_phase", "4"])
+    from pcfm.sample.cli import load_run
+    _, _, dstate, _ = load_run(save)
+    _, _, tstate, _ = load_run(out)
+    import chex
+    assert jax.tree_util.tree_leaves(dstate.batch_stats["pf"])  # non-vacuous
+    chex.assert_trees_all_close(dstate.batch_stats["pf"],
+                                tstate.ema_pf["batch_stats"])
     from pcfm.sample.cli import main as sample_main
     gen = str(tmp_path / "gen")
     sample_main(["--out_dir", save, "--save_dir", gen,
