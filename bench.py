@@ -8,8 +8,12 @@ batch 8, latent_dim 128, `mlp` point-flow backbone, on 1x H100
 
     sec/epoch = measured_step_time * 293.
 
-This script times the full jitted train step (fwd + bwd + AdamW + EMA) with
-on-device data, prints ONE JSON line on stdout, and extra detail on stderr.
+This script times the full jitted train step (fwd + bwd + AdamW + EMA) and
+the serve-path samplers for BOTH backbones with on-device data, computes
+MFU from the analytic model-FLOP count (pcfm/utils/flops.py: dot/conv
+FLOPs of the traced step vs the 197 TFLOP/s v5e bf16 peak), prints ONE
+JSON line on stdout carrying every judged metric, and extra detail on
+stderr.
 """
 from __future__ import annotations
 
@@ -26,13 +30,15 @@ import jax.numpy as jnp
 from pcfm.config import Config
 from pcfm.train.state import init_state
 from pcfm.train.step import make_train_step
+from pcfm.utils.flops import V5E_BF16_PEAK, count_matmul_flops
 
 STEPS_PER_EPOCH = 293          # 47 Scissors models x 50 poses / batch 8
 BASELINE_SEC_PER_EPOCH = 25.0  # reference README.md:153 (1x H100)
 
 
 def bench_step(cfg: Config, b: int, n: int, iters: int = 50,
-               warmup: int = 5) -> float:
+               warmup: int = 5):
+    """Returns (sec/step, model FLOPs/step)."""
     bundle, state, tx = init_state(cfg, jax.random.PRNGKey(0),
                                    total_steps=cfg.epochs * STEPS_PER_EPOCH)
     step = make_train_step(bundle, tx, donate=True)
@@ -45,6 +51,8 @@ def bench_step(cfg: Config, b: int, n: int, iters: int = 50,
     batch = jax.device_put(batch)
     c_on, d_p = jnp.float32(1.0), jnp.float32(0.1)
 
+    flops = count_matmul_flops(step, state, batch, key, c_on, d_p)
+
     rngs = [jax.random.fold_in(key, i) for i in range(warmup + iters)]
     for i in range(warmup):
         state, m = step(state, batch, rngs[i], c_on, d_p)
@@ -56,13 +64,13 @@ def bench_step(cfg: Config, b: int, n: int, iters: int = 50,
     for i in range(iters):
         state, m = step(state, batch, rngs[warmup + i], c_on, d_p)
     float(m["loss"])
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / iters, flops
 
 
 def bench_sampler(cfg: Config, b: int, n: int, iters: int = 5) -> float:
-    """Generation sec/shape at the reference NFE (Heun, 2*steps evals per
-    flow) — BASELINE.md 'sampler sec/shape at fixed NFE'."""
-    from pcfm.train.state import init_state
+    """Generation sec/shape at the configured sampler/NFE (the reference
+    serve path is Heun, 2*steps net evals per flow — train.py:332-341,
+    384-415; BASELINE.md 'sampler sec/shape at fixed NFE')."""
     from pcfm.train.evaluate import make_sample_fn
     bundle, state, _ = init_state(cfg, jax.random.PRNGKey(0), 100)
     sample_fn = make_sample_fn(bundle)
@@ -81,42 +89,61 @@ def main():
     print(f"[bench] device: {dev}", file=sys.stderr)
 
     b, n = 8, 20000
-    cfg = Config(pf_backbone="mlp", latent_dim=128, has_rgb=True,
-                 cond_dim=1, pointflow_rgb=True, use_rgb_in_latent=True,
-                 amp=True, use_bf16=True, tr_max_sample_points=n,
-                 batch_size=b, warmup_steps=0)
-    step_time = bench_step(cfg, b, n)
+    out = {}
+    base = dict(latent_dim=128, has_rgb=True, cond_dim=1,
+                pointflow_rgb=True, use_rgb_in_latent=True, amp=True,
+                use_bf16=True, tr_max_sample_points=n, batch_size=b,
+                warmup_steps=0)
+    cfg = Config(pf_backbone="mlp", **base)
+
+    step_time, fl = bench_step(cfg, b, n)
     sec_per_epoch = step_time * STEPS_PER_EPOCH
-    pts_per_sec = b * n / step_time
+    out["mlp_step_ms"] = round(step_time * 1e3, 2)
+    out["mlp_sec_per_epoch"] = round(sec_per_epoch, 3)
+    out["mlp_mfu"] = round(fl / step_time / V5E_BF16_PEAK, 4)
     print(f"[bench] mlp 20k RGB: {step_time*1e3:.2f} ms/step, "
-          f"{pts_per_sec/1e6:.2f}M pts/s, {sec_per_epoch:.2f} s/epoch "
-          f"(293 steps)", file=sys.stderr)
+          f"{b*n/step_time/1e6:.2f}M pts/s, {sec_per_epoch:.2f} s/epoch "
+          f"(293 steps), {fl/1e12:.2f} TFLOP/step, "
+          f"MFU {out['mlp_mfu']*100:.1f}%", file=sys.stderr)
 
     try:
-        samp = bench_sampler(cfg.replace(sample_steps=50, sampler="heun"),
-                             b, n)
-        print(f"[bench] sampler (Heun x50, 100 NFE/flow): "
-              f"{samp*1e3:.1f} ms/shape @ 20k pts", file=sys.stderr)
-        fast = bench_sampler(cfg.replace(sample_steps=6, sampler="euler"),
-                             b, n)
-        print(f"[bench] sampler (euler x6 — the pcfm.distill student "
-              f"NFE): {fast*1e3:.1f} ms/shape @ 20k pts", file=sys.stderr)
-    except Exception as e:  # secondary metric; never fail the bench
-        print(f"[bench] sampler bench failed: {e}", file=sys.stderr)
-
-    try:
-        hcfg = cfg.replace(pf_backbone="hybrid")
-        h_time = bench_step(hcfg, b, n, iters=10)
+        hcfg = Config(pf_backbone="hybrid", **base)
+        h_time, h_fl = bench_step(hcfg, b, n, iters=20)
+        out["hybrid_step_ms"] = round(h_time * 1e3, 2)
+        out["hybrid_sec_per_epoch"] = round(h_time * STEPS_PER_EPOCH, 3)
+        out["hybrid_mfu"] = round(h_fl / h_time / V5E_BF16_PEAK, 4)
         print(f"[bench] hybrid 20k RGB: {h_time*1e3:.1f} ms/step "
-              f"({h_time*STEPS_PER_EPOCH:.1f} s/epoch)", file=sys.stderr)
+              f"({h_time*STEPS_PER_EPOCH:.1f} s/epoch), "
+              f"{h_fl/1e12:.2f} TFLOP/step, "
+              f"MFU {out['hybrid_mfu']*100:.1f}%", file=sys.stderr)
     except Exception as e:
         print(f"[bench] hybrid bench failed: {e}", file=sys.stderr)
+
+    for name, bb in (("mlp", cfg), ("hybrid", None)):
+        try:
+            bb = bb if bb is not None else Config(pf_backbone="hybrid",
+                                                  **base)
+            samp = bench_sampler(bb.replace(sample_steps=50,
+                                            sampler="heun"), b, n)
+            out[f"sampler_{name}_heun50_ms_per_shape"] = round(samp * 1e3, 2)
+            print(f"[bench] {name} sampler (Heun x50, 100 NFE/flow): "
+                  f"{samp*1e3:.1f} ms/shape @ 20k pts", file=sys.stderr)
+            fast = bench_sampler(bb.replace(sample_steps=6,
+                                            sampler="euler"), b, n)
+            out[f"sampler_{name}_euler6_ms_per_shape"] = round(fast * 1e3, 2)
+            print(f"[bench] {name} sampler (euler x6 — the pcfm.distill "
+                  f"student NFE): {fast*1e3:.1f} ms/shape @ 20k pts",
+                  file=sys.stderr)
+        except Exception as e:  # secondary metric; never fail the bench
+            print(f"[bench] {name} sampler bench failed: {e}",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "train_sec_per_epoch_20k_rgb_mlp",
         "value": round(sec_per_epoch, 3),
         "unit": "s/epoch (293 steps, batch 8, 20k pts, 1 chip)",
         "vs_baseline": round(BASELINE_SEC_PER_EPOCH / sec_per_epoch, 2),
+        **out,
     }))
 
 
