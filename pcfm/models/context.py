@@ -138,7 +138,19 @@ class ContextNet(nn.Module):
         use_sorted = (self.voxel_backend == "sorted"
                       and max(self.stage_res) ** 3 >= 4096)
         perm = inv = None
-        if use_sorted:
+        from pcfm.parallel.sp_context import sp_mesh_for
+        sp_mesh = sp_mesh_for(b, n)
+        if use_sorted and sp_mesh is not None:
+            # points sharded: SHARD-LOCAL sort (a global argsort would
+            # all-gather the point axis; the window kernels only need
+            # within-tile id locality, which a local sort provides)
+            from pcfm.parallel.sp_sorted import (shmap_permute,
+                                                 shmap_sort_perm)
+            perm, inv = shmap_sort_perm(
+                sp_mesh, x[..., :3], int(self.stage_res[0]),
+                normalize=self.voxel_normalize, eps=VOXEL_EPS)
+            x = shmap_permute(sp_mesh, x, perm, inv)
+        elif use_sorted:
             from pcfm.ops.voxel_sorted import (permute_points,
                                                sort_perm_by_voxel,
                                                unpermute_points)
@@ -182,7 +194,15 @@ class ContextNet(nn.Module):
             from pcfm.nn.pvconv import _interp, _use_sorted
             from pcfm.ops.voxel_sorted import build_stage_cache
             for rs in dict.fromkeys(int(r) for r in self.stage_res):
-                if _use_sorted(self.voxel_backend, rs, b, n):
+                if not _use_sorted(self.voxel_backend, rs, b, n):
+                    continue
+                if sp_mesh is not None:
+                    from pcfm.parallel.sp_sorted import shmap_stage_cache
+                    caches[rs] = shmap_stage_cache(
+                        sp_mesh, coords, rs,
+                        normalize=self.voxel_normalize, eps=VOXEL_EPS,
+                        interpret=_interp())
+                else:
                     caches[rs] = build_stage_cache(
                         coords, rs, int(self.stage_res[0]),
                         normalize=self.voxel_normalize, eps=VOXEL_EPS,
@@ -241,7 +261,10 @@ class ContextNet(nn.Module):
             ctx = alpha * ctx_pv + (1.0 - alpha) * ctx_glb
         else:
             ctx = ctx_pv
-        if use_sorted:
+        if use_sorted and sp_mesh is not None:
+            from pcfm.parallel.sp_sorted import shmap_permute
+            ctx = shmap_permute(sp_mesh, ctx, inv, perm)   # unpermute
+        elif use_sorted:
             from pcfm.ops.voxel_sorted import unpermute_points
             ctx = unpermute_points(ctx, perm, inv)
         return ctx.astype(out_dtype)

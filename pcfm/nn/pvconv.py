@@ -40,8 +40,14 @@ def _use_dense(resolution: int) -> bool:
 
 
 def _use_sorted(backend: str, resolution: int, b: int, n: int) -> bool:
-    return (backend == "sorted" and resolution ** 3 >= SORTED_R3_MIN
-            and n >= SORTED_N_MIN and sp_mesh_for(b, n) is None)
+    """Sorted kernels are legal under a points-sharded mesh too (shard-
+    local sort + psum grids, pcfm/parallel/sp_sorted.py); the N threshold
+    then applies to the SHARD-local point count."""
+    if backend != "sorted" or resolution ** 3 < SORTED_R3_MIN:
+        return False
+    mesh = sp_mesh_for(b, n)
+    sp = mesh.shape.get("points", 1) if mesh is not None else 1
+    return n // sp >= SORTED_N_MIN
 
 
 def _interp() -> bool:
@@ -64,9 +70,26 @@ class Voxelization(nn.Module):
     def __call__(self, features, coords, cache: dict | None = None):
         if _use_sorted(self.voxel_backend, self.resolution,
                        features.shape[0], features.shape[1]):
+            r = self.resolution
+            b, n, c = features.shape
+            sp_mesh = sp_mesh_for(b, n)
+            if sp_mesh is not None:
+                # points sharded: shard-local window scatter + psum grid
+                # (coords must be in shard-local sorted order — the
+                # ContextNet entry sort handles that)
+                from pcfm.parallel.sp_sorted import (
+                    shmap_avg_voxelize_sorted, shmap_stage_cache)
+                if cache is None:
+                    cache = shmap_stage_cache(sp_mesh, coords, r,
+                                              normalize=self.normalize,
+                                              eps=self.eps,
+                                              interpret=_interp())
+                grid = shmap_avg_voxelize_sorted(
+                    sp_mesh, features, cache["vox_ids"], cache["inv_pt"],
+                    r, _interp())
+                return grid.reshape(b, r, r, r, c), cache["norm_coords"]
             from pcfm.ops.voxel_sorted import (avg_voxelize_sorted,
                                                build_stage_cache)
-            r = self.resolution
             if cache is None:
                 cache = build_stage_cache(coords, r, self.sorted_at_res,
                                           normalize=self.normalize,
@@ -74,7 +97,6 @@ class Voxelization(nn.Module):
             grid = avg_voxelize_sorted(
                 features, cache["vox_ids"], r, _interp(),
                 inv_pt=cache["inv_pt"])
-            b, _, c = features.shape
             return grid.reshape(b, r, r, r, c), cache["norm_coords"]
         # normalize_coords reduces over the FULL point axis (per-cloud mean
         # + max norm) so it stays OUTSIDE any shard_map: GSPMD derives the
@@ -140,11 +162,24 @@ class PVConv(nn.Module):
 
         if _use_sorted(self.voxel_backend, r, norm_coords.shape[0],
                        norm_coords.shape[1]):
-            from pcfm.ops.voxel_sorted import trilinear_devoxelize_sorted
             b = grid.shape[0]
-            voxel_features = trilinear_devoxelize_sorted(
-                grid.reshape(b, r * r * r, -1), norm_coords, r, _interp(),
-                corners=None if cache is None else cache["corners"])
+            sp_mesh = sp_mesh_for(norm_coords.shape[0],
+                                  norm_coords.shape[1])
+            if sp_mesh is not None:
+                from pcfm.ops.voxel_sorted import corner_data
+                from pcfm.parallel.sp_sorted import shmap_devox_sorted
+                corners = (cache["corners"] if cache is not None
+                           else corner_data(norm_coords, r))
+                voxel_features = shmap_devox_sorted(
+                    sp_mesh, grid.reshape(b, r * r * r, -1), corners, r,
+                    _interp())
+            else:
+                from pcfm.ops.voxel_sorted import \
+                    trilinear_devoxelize_sorted
+                voxel_features = trilinear_devoxelize_sorted(
+                    grid.reshape(b, r * r * r, -1), norm_coords, r,
+                    _interp(),
+                    corners=None if cache is None else cache["corners"])
         elif (mesh := sp_mesh_for(norm_coords.shape[0],
                                   norm_coords.shape[1])) is not None:
             from pcfm.parallel.sp_ops import shmap_trilinear_devoxelize
