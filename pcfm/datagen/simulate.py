@@ -45,15 +45,27 @@ class GenConfig:
     fps_oversample: int = 8
 
 
+_KIN_NOTICE_SHOWN = False
+
+
 def _require_pybullet():
+    """Real pybullet when installed; otherwise the built-in pure-numpy
+    kinematic backend (pcfm/datagen/bullet_kin.py). The generation
+    workload runs with gravity off under position control
+    (make_dataset.py:588-603 connects DIRECT, setGravity(0,0,0)), so
+    kinematics + a settling servo reproduce its semantics exactly."""
     try:
         import pybullet as p  # noqa: F401
         return p
-    except ImportError as e:
-        raise RuntimeError(
-            "pybullet is required for offline dataset generation "
-            "(pip install pybullet pybullet_data trimesh); the training/"
-            "eval stack does not need it") from e
+    except ImportError:
+        global _KIN_NOTICE_SHOWN
+        if not _KIN_NOTICE_SHOWN:
+            print("[datagen] pybullet not installed — using the built-in "
+                  "kinematic backend (pcfm.datagen.bullet_kin)",
+                  file=sys.stderr)
+            _KIN_NOTICE_SHOWN = True
+        from pcfm.datagen.bullet_kin import client
+        return client()
 
 
 def joint_type_name(p, jtype: int) -> str:
@@ -191,8 +203,13 @@ def export_glb(pieces: List[MeshPiece], path: Path) -> bool:
     """Write the assembled world mesh as ``mesh.glb``
     (make_dataset.py:534-564).  Appearance is baked to per-face colors
     (the reference's glb_bake branch) because MeshPiece stores decoded
-    arrays, not live trimesh materials."""
-    import trimesh
+    arrays, not live trimesh materials.  Without trimesh the built-in
+    writer (pcfm/datagen/glb.py) produces the GLB directly."""
+    try:
+        import trimesh
+    except ImportError:
+        from pcfm.datagen.glb import write_glb
+        return write_glb(pieces, path)
     meshes = []
     for piece in pieces:
         if piece.is_empty:
@@ -212,7 +229,7 @@ def export_glb(pieces: List[MeshPiece], path: Path) -> bool:
 def world_mesh_pieces(p, body_id: int, urdf_dir: Path) -> List[MeshPiece]:
     """Visual shapes -> world-transformed MeshPieces
     (make_dataset.py:515-532)."""
-    import trimesh
+    from pcfm.datagen.meshio import load_mesh_pieces
     pieces: List[MeshPiece] = []
     link_T = {}
     bpos, born = p.getBasePositionAndOrientation(body_id)
@@ -234,16 +251,8 @@ def world_mesh_pieces(p, body_id: int, urdf_dir: Path) -> List[MeshPiece]:
             path = urdf_dir / mesh_file
         if not path.exists():
             continue
-        try:
-            loaded = trimesh.load(str(path), force="mesh", process=False)
-        except Exception:
-            continue
-        meshes = loaded.dump() if hasattr(loaded, "dump") else [loaded]
         scale = np.asarray(shape[3], np.float64)
-        for m in meshes:
-            piece = _trimesh_to_piece(m)
-            if piece is None:
-                continue
+        for piece in load_mesh_pieces(path):
             T = link_T.get(link_idx, np.eye(4)) @ local_T
             vtx = piece.vertices * scale
             piece.vertices = vtx @ T[:3, :3].T + T[:3, 3]

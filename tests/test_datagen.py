@@ -198,7 +198,14 @@ def test_fps_sampling_method():
     assert pts.shape == (32, 3)
 
 
-def test_simulate_requires_pybullet():
+def test_simulate_backend_fallback():
+    """Without pybullet installed the simulate shell gets the built-in
+    kinematic backend (r3; the r2 behavior was a RuntimeError guard)."""
+    from pcfm.datagen.bullet_kin import KinematicsClient
     from pcfm.datagen.simulate import _require_pybullet
-    with pytest.raises(RuntimeError, match="pybullet"):
-        _require_pybullet()
+    p = _require_pybullet()
+    try:
+        import pybullet
+        assert p is pybullet
+    except ImportError:
+        assert isinstance(p, KinematicsClient)
