@@ -117,10 +117,14 @@ def run(epochs=80, size=64, n_points=256, batch=8, latent=32, enc_width=32,
         ll_curve.append(ll / nb)
 
     recon = make_recon_fn(bundle, use_ema=True)
-    preds, gts = [], []
+    preds, gts, z_sq = [], [], []
     for b in loader.epoch_batches(0):
         pts = jnp.asarray(b["test_points"], jnp.float32)
         cond = jnp.asarray(b["cond"], jnp.float32)
+        z, _, _ = bundle.apply_enc(state.params["enc"],
+                                   state.batch_stats["enc"], pts,
+                                   train=False)
+        z_sq.append(float(jnp.mean(z ** 2)))
         x = recon(state, pts, None, cond, jax.random.PRNGKey(seed + 1))
         preds.append(np.asarray(x))
         gts.append(np.asarray(pts))
@@ -143,10 +147,12 @@ def run(epochs=80, size=64, n_points=256, batch=8, latent=32, enc_width=32,
                   "loss_latent": tr["loss_latent"],
                   "lp_last5": float(np.mean(tr["loss_point"][-5:])),
                   "ll_last5": float(np.mean(tr["loss_latent"][-5:])),
+                  "z_rms": tr.get("z_rms"),
                   "recon_cd": cd_torch, "seconds": round(t_torch, 1)},
         "pcfm": {"loss_point": lp_curve, "loss_latent": ll_curve,
                  "lp_last5": float(np.mean(lp_curve[-5:])),
                  "ll_last5": float(np.mean(ll_curve[-5:])),
+                 "z_rms": float(np.sqrt(np.mean(z_sq))),
                  "recon_cd": cd_pcfm, "seconds": round(t_pcfm, 1)},
     }
     for k in ("lp_last5", "ll_last5", "recon_cd"):

@@ -227,12 +227,15 @@ def run_torch_training(loader, epochs: int, latent_dim: int = 32,
     pf.eval()
     enc.eval()
     preds, gts = [], []
+    z_sq = []                    # diagnosing the latent-loss scale: the
+    # latent FM loss tracks E||z||^2 (its target is z - eps)
     with torch.no_grad():
         for batch in loader.epoch_batches(0):
             gt = torch.from_numpy(batch["test_points"]).float()
             cond_j = torch.from_numpy(batch["cond"]).float() \
                 if "cond" in batch else None
             z, _ = enc(gt)
+            z_sq.append(float((z ** 2).mean()))
             cond_full = z if cond_j is None else torch.cat([z, cond_j], 1)
             torch.manual_seed(seed + 1)
             x = torch.randn_like(gt)
@@ -244,4 +247,5 @@ def run_torch_training(loader, epochs: int, latent_dim: int = 32,
             gts.append(gt.numpy())
     return {"loss_point": lp_curve, "loss_latent": ll_curve,
             "pred": np.concatenate(preds, 0),
-            "gt": np.concatenate(gts, 0)}
+            "gt": np.concatenate(gts, 0),
+            "z_rms": float(np.sqrt(np.mean(z_sq)))}
