@@ -148,7 +148,8 @@ class PartNetH5Dataset(_H5ShardDataset):
         ], files)
         if not self.files:
             raise FileNotFoundError(
-                f"[PartNet-H5] No shards under '{self.data_dir}/{self.split}'")
+                f"partnet_h5: no shard-*.h5 files found in "
+                f"{self.data_dir}/{self.split}")
 
         self._index = []
         self._key_points_map = {}
@@ -162,7 +163,8 @@ class PartNetH5Dataset(_H5ShardDataset):
                 key = "data_norm" if (self.use_norm and "data_norm" in f) \
                     else "data"
                 if key not in f:
-                    raise KeyError(f"[PartNet-H5] Missing key '{key}' in {fp}")
+                    raise KeyError(
+                        f"partnet_h5 shard {fp} lacks dataset '{key}'")
                 nrows = int(f[key].shape[0])
                 self._key_points_map[fi] = key
                 if "rgb" in f:
@@ -349,7 +351,7 @@ class TDCRH5Dataset(_H5ShardDataset):
                 key = "data_norm" if (self.use_norm and "data_norm" in f) \
                     else "data"
                 if key not in f:
-                    raise KeyError(f"[TDCR-H5] Missing key '{key}' in {fp}")
+                    raise KeyError(f"tdcr_h5 shard {fp} lacks dataset '{key}'")
                 nrows = int(f[key].shape[0])
                 self._index.extend((fi, i) for i in range(nrows))
                 self._key_points_map[fi] = key

@@ -68,6 +68,21 @@ def _cdiv(a: int, b: int) -> int:
 # pass on dense tiles (scripts/probe_voxwin.py measures the sweet spot).
 WINDOW_FACTOR = 2.0
 
+# TR-fused kernels (r3, ROADMAP #13): build ONE (W, TILE) multi-hot
+# spanning all TR sub-rows and run ONE MXU dot per (group, pass) instead
+# of TR separate (W, 128) builds + dots — same FLOPs, fewer/wider MXU
+# invocations and a single VPU select chain.  Measured on v5e 20k hybrid
+# (scripts/probe_r3kernel.py): 103.2 -> 101.4 ms alone, 99.8 combined
+# with GATHER_OUT_BF16.
+FUSE_TR = True
+
+# write gather outputs (point features) in bf16: they feed bf16 compute
+# anyway and the write is per-tile exclusive (no read-modify-write, so no
+# accumulation rounding).  Scatter outputs stay f32 — window rows are
+# accumulated across overlapping tiles.  Never engages at HIGHEST
+# precision (counts/parity paths).  Measured: 103.2 -> 101.9 ms alone.
+GATHER_OUT_BF16 = True
+
 
 def pick_window(r: int, n: int, reach: int = 0) -> int:
     """Window rows W: WINDOW_FACTOR x the expected id span of a TILE-point
@@ -129,7 +144,75 @@ def _gather_kernel(starts_ref, npass_ref, grid_ref, ids_ref, w_ref, out_ref,
 
         acc = jax.lax.fori_loop(0, n_pass, pass_body,
                                 jnp.zeros((128, cb), jnp.float32))
-        out_ref[0, r * 128:(r + 1) * 128, :] = acc
+        out_ref[0, r * 128:(r + 1) * 128, :] = acc.astype(out_ref.dtype)
+
+
+def _gather_kernel_fused(starts_ref, npass_ref, grid_ref, ids_ref, w_ref,
+                         out_ref, *, k: int, w_rows: int, cb: int,
+                         precision, groups: tuple):
+    """TR-fused gather: one (W, TILE) multi-hot + one dot per
+    (group, pass) — see FUSE_TR."""
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    s = starts_ref[b, t] * ALIGN
+    n_pass = npass_ref[b, t]
+    kg = k // len(groups)
+
+    rel = [ids_ref[0, kk, 0, :, :].reshape(1, TILE) for kk in range(k)]
+    wk = [w_ref[0, kk, 0, :, :].reshape(1, TILE) for kk in range(k)]
+
+    def pass_body(p, acc):
+        for gi, goff in enumerate(groups):
+            base = s + goff + p * w_rows
+            win = grid_ref[0, pl.ds(base, w_rows), :]            # (W, C)
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (w_rows, TILE), 0) + base
+            oh = jnp.zeros((w_rows, TILE), jnp.float32)
+            for kk in range(gi * kg, (gi + 1) * kg):
+                oh = jnp.where(iota == rel[kk],
+                               oh + wk[kk].astype(jnp.float32), oh)
+            acc = acc + _dot_oh_win(oh.astype(win.dtype), win, precision)
+        return acc
+
+    acc = jax.lax.fori_loop(0, n_pass, pass_body,
+                            jnp.zeros((TILE, cb), jnp.float32))
+    out_ref[0, :, :] = acc.astype(out_ref.dtype)
+
+
+def _scatter_kernel_fused(starts_ref, npass_ref, ids_ref, w_ref, upd_ref,
+                          out_ref, *, k: int, w_rows: int, cb: int,
+                          precision, groups: tuple):
+    """TR-fused scatter: one (W, TILE) multi-hot + one dot per
+    (group, pass) — see FUSE_TR."""
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    kg = k // len(groups)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    s = starts_ref[b, t] * ALIGN
+    n_pass = npass_ref[b, t]
+    rel = [ids_ref[0, kk, 0, :, :].reshape(1, TILE) for kk in range(k)]
+    wk = [w_ref[0, kk, 0, :, :].reshape(1, TILE) for kk in range(k)]
+    upd = upd_ref[0, :, :]                                      # (TILE, C)
+
+    def pass_body(p, carry):
+        for gi, goff in enumerate(groups):
+            base = s + goff + p * w_rows
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (w_rows, TILE), 0) + base
+            oh = jnp.zeros((w_rows, TILE), jnp.float32)
+            for kk in range(gi * kg, (gi + 1) * kg):
+                oh = jnp.where(iota == rel[kk],
+                               oh + wk[kk].astype(jnp.float32), oh)
+            part = _dot_oh_upd(oh.astype(upd.dtype), upd, precision)
+            cur = out_ref[0, pl.ds(base, w_rows), :]
+            out_ref[0, pl.ds(base, w_rows), :] = cur + part
+        return carry
+
+    jax.lax.fori_loop(0, n_pass, pass_body, 0)
 
 
 def _scatter_kernel(starts_ref, npass_ref, ids_ref, w_ref, upd_ref, out_ref,
@@ -264,8 +347,12 @@ def gather_windows(grid_flat: jax.Array, ids: jax.Array, weights: jax.Array,
                                       dt)
     starts, n_pass = _tile_meta(base_p, w_rows, reach)
 
-    kern = functools.partial(_gather_kernel, k=k, w_rows=w_rows, cb=cb,
-                             precision=precision, groups=tuple(groups))
+    out_dt = (jnp.bfloat16 if GATHER_OUT_BF16
+              and precision != jax.lax.Precision.HIGHEST else jnp.float32)
+    kern = functools.partial(
+        _gather_kernel_fused if FUSE_TR else _gather_kernel,
+        k=k, w_rows=w_rows, cb=cb,
+        precision=precision, groups=tuple(groups))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(bsz, c // cb, n_tiles),
@@ -282,13 +369,13 @@ def gather_windows(grid_flat: jax.Array, ids: jax.Array, weights: jax.Array,
     )
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((bsz, n_pad, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bsz, n_pad, c), out_dt),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(starts, n_pass, grid_p, ids5, w5)
-    return out[:, :n]
+    return out[:, :n].astype(jnp.float32)
 
 
 def scatter_windows(updates: jax.Array, ids: jax.Array, weights: jax.Array,
@@ -316,8 +403,10 @@ def scatter_windows(updates: jax.Array, ids: jax.Array, weights: jax.Array,
                                       dt)
     starts, n_pass = _tile_meta(base_p, w_rows, reach)
 
-    kern = functools.partial(_scatter_kernel, k=k, w_rows=w_rows, cb=cb,
-                             precision=precision, groups=tuple(groups))
+    kern = functools.partial(
+        _scatter_kernel_fused if FUSE_TR else _scatter_kernel,
+        k=k, w_rows=w_rows, cb=cb,
+        precision=precision, groups=tuple(groups))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(bsz, c // cb, n_tiles),

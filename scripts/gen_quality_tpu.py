@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Generative-quality hardware run (VERDICT r2 #3): train the flagship
+hybrid backbone on the 2048-pt synthetic workload long enough for the
+latent-flow -> point-flow pipeline to MATCH the data distribution, and
+track the MMD/COV/1-NNA suite until 1-NNA <= 0.75 and COV >= 0.4
+(PointFlow protocol; reference intent train.py:359-429 save_val_samples).
+
+Device-resident data (dev-tunnel H2D is ~10 MB/s); ONE clean-exiting TPU
+session; suite evaluated every EVAL_EVERY epochs on conditioned samples
+(one generated cloud per test cloud, same conds — the eval CLI's suite
+protocol). Appends history to OUT/history.json and dumps sample PLYs.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+EPOCHS = int(os.environ.get("EPOCHS", 400))
+EVAL_EVERY = int(os.environ.get("EVAL_EVERY", 25))
+SIZE = int(os.environ.get("SIZE", 200))
+TEST = int(os.environ.get("TEST", 96))
+N = int(os.environ.get("NPTS", 2048))
+B = int(os.environ.get("BATCH", 16))
+OUT = os.environ.get("OUT", "/tmp/pcfm_gen_quality")
+BUDGET_S = float(os.environ.get("BUDGET_S", 1500))
+
+float(jnp.sum(jnp.ones((8, 8))))
+print("[genq] device claimed:", jax.devices()[0], flush=True)
+
+from pcfm.config import Config
+from pcfm.data.synthetic import SyntheticDataset
+from pcfm.eval.metrics import generative_metrics
+from pcfm.train.evaluate import make_sample_fn
+from pcfm.train.state import init_state
+from pcfm.train.step import make_train_step
+from pcfm.utils import save_point_cloud_ply_rgb
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    t_all = time.time()
+    ds = SyntheticDataset(split="train", size=SIZE, n_points=N,
+                          tr_sample_size=N, te_sample_size=N,
+                          with_rgb=True, with_cond=True, seed=0)
+    ds_te = SyntheticDataset(split="test", size=TEST, n_points=N,
+                             tr_sample_size=N, te_sample_size=N,
+                             with_rgb=True, with_cond=True, seed=0)
+    pts_all = jax.device_put(jnp.asarray(np.stack(ds.clouds)))
+    rgb_all = jax.device_put(jnp.asarray(np.stack(ds.rgbs)))
+    cond_all = jax.device_put(jnp.asarray(ds.thetas)[:, None])
+    te_pts = np.stack(ds_te.clouds)                        # host (ref set)
+    te_cond = jax.device_put(jnp.asarray(ds_te.thetas)[:, None])
+    print(f"[genq] data on device: {SIZE}x{N} pts "
+          f"({pts_all.nbytes / 1e6:.0f} MB), test ref {TEST}", flush=True)
+
+    steps_per_epoch = SIZE // B
+    # CTX/LATENT env knobs let the CPU smoke test shrink the model
+    res = [int(x) for x in os.environ.get("CTX_RES", "32,16,8").split(",")]
+    ch = [int(x) for x in os.environ.get("CTX_CH", "128,256,256").split(",")]
+    blocks = [int(x) for x in os.environ.get("CTX_BLOCKS",
+                                             "2,2,2").split(",")]
+    cfg = Config(pf_backbone="hybrid",
+                 latent_dim=int(os.environ.get("LATENT", 64)),
+                 has_rgb=True,
+                 cond_dim=1, pointflow_rgb=True, use_rgb_in_latent=True,
+                 amp=True, use_bf16=True, tr_max_sample_points=N,
+                 batch_size=B, epochs=EPOCHS, warmup_steps=200,
+                 geom_warmup_epochs=int(os.environ.get("GEOM_WARMUP", 20)),
+                 cfg_drop_warmup_epochs=40,
+                 ctx_stage_res=res, ctx_stage_channels=ch,
+                 ctx_stage_blocks=blocks,
+                 sampler="heun",
+                 sample_steps=int(os.environ.get("SAMPLE_STEPS", 25)),
+                 seed=7)
+    rng = jax.random.PRNGKey(cfg.seed)
+    bundle, state, tx = init_state(cfg, rng,
+                                   total_steps=EPOCHS * steps_per_epoch)
+    step = make_train_step(bundle, tx, donate=True)
+    sample = make_sample_fn(bundle)           # latent Heun -> point Heun
+
+    @jax.jit
+    def gather_batch(idx):
+        return (jnp.take(pts_all, idx, axis=0),
+                jnp.take(rgb_all, idx, axis=0),
+                jnp.take(cond_all, idx, axis=0))
+
+    def run_suite(state, ep):
+        gens = []
+        for s0 in range(0, TEST, B):
+            conds = te_cond[s0:s0 + B]
+            pad = B - conds.shape[0]
+            if pad:
+                conds = jnp.concatenate(
+                    [conds, jnp.zeros((pad, 1), conds.dtype)])
+            x = sample(state, conds, jax.random.fold_in(rng, 77_000 + ep
+                                                        + s0), B, N)
+            gens.append(np.asarray(x)[:B - pad, :, :3])
+        gen = np.concatenate(gens)[:TEST]
+        return gen, generative_metrics(gen, te_pts, metrics=("cd",))
+
+    npr = np.random.RandomState(1)
+    hist = []
+    t0 = time.time()
+    gstep = 0
+    done = False
+    for ep in range(1, EPOCHS + 1):
+        order = npr.permutation(SIZE)[:steps_per_epoch * B]
+        color_on = jnp.float32(1.0 if ep > cfg.geom_warmup_epochs else 0.0)
+        dp = jnp.float32(cfg.cfg_drop_p * min(
+            1.0, ep / max(1, cfg.cfg_drop_warmup_epochs)))
+        lp = lz = 0.0
+        for si in range(steps_per_epoch):
+            idx = jnp.asarray(order[si * B:(si + 1) * B])
+            p, r, c = gather_batch(idx)
+            state, m = step(state, {"pts": p, "rgb": r, "cond": c},
+                            jax.random.fold_in(rng, gstep), color_on, dp)
+            gstep += 1
+            if si >= steps_per_epoch - 2:
+                lp += float(m["loss_point"]) / 2
+                lz += float(m["loss_latent"]) / 2
+        row = {"epoch": ep, "loss_point": round(lp, 4),
+               "loss_latent": round(lz, 4),
+               "elapsed_s": round(time.time() - t0, 1)}
+        if ep % EVAL_EVERY == 0 or ep == EPOCHS:
+            gen, suite = run_suite(state, ep)
+            row.update({k: round(float(v), 4) for k, v in suite.items()})
+            done = (suite.get("nna_cd", 1.0) <= 0.70
+                    and suite.get("cov_cd", 0.0) >= 0.45)
+        hist.append(row)
+        print(f"[genq] {row}", flush=True)
+        with open(os.path.join(OUT, "history.json"), "w") as f:
+            json.dump(hist, f, indent=1)
+        if done or time.time() - t_all > BUDGET_S:
+            if not done:
+                print("[genq] budget out", flush=True)
+            break
+
+    gen, suite = run_suite(state, 999_999)
+    print(f"[genq] final suite: {suite}", flush=True)
+    for i in range(4):
+        save_point_cloud_ply_rgb(
+            gen[i], np.full_like(gen[i], 0.6),
+            os.path.join(OUT, f"gen_{i}.ply"))
+        save_point_cloud_ply_rgb(te_pts[i], np.asarray(ds_te.rgbs[i]),
+                                 os.path.join(OUT, f"ref_{i}.ply"))
+    with open(os.path.join(OUT, "final_suite.json"), "w") as f:
+        json.dump({k: float(v) for k, v in suite.items()}, f, indent=1)
+    print(f"[genq] total {time.time() - t_all:.0f}s; history + PLYs in "
+          f"{OUT}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -263,3 +263,55 @@ def test_wide_channel_block():
         grid.reshape(2, 8, 8, 8, 200), nc, 8))
     got_d = np.asarray(trilinear_devoxelize_sorted(grid, nc, 8, True))
     np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_tr_kernels_exact(monkeypatch):
+    """FUSE_TR (r3): one (W, TILE) multi-hot + single dot per pass-group
+    must match the per-row kernels bit-for-bit at HIGHEST precision —
+    fwd and grad, both ops."""
+    import pcfm.ops.pallas.voxel_sorted as pvsk
+    _, nc, vc, ids, feats = _setup(n=500)
+    monkeypatch.setattr(pvsk, "FUSE_TR", False)    # per-row baseline
+    base_g = np.asarray(avg_voxelize_sorted(feats, ids, 8, True))
+    grid = jnp.asarray(base_g)
+
+    def grads(fn, *args):
+        return np.asarray(jax.grad(lambda a: jnp.sum(fn(a) ** 2))(*args))
+
+    base_d = np.asarray(trilinear_devoxelize_sorted(grid, nc, 8, True))
+    g_base = grads(lambda f: avg_voxelize_sorted(f, ids, 8, True), feats)
+    d_base = grads(lambda g: trilinear_devoxelize_sorted(g, nc, 8, True),
+                   grid)
+    monkeypatch.setattr(pvsk, "FUSE_TR", True)
+    got_g = np.asarray(avg_voxelize_sorted(feats, ids, 8, True))
+    got_d = np.asarray(trilinear_devoxelize_sorted(grid, nc, 8, True))
+    g_fuse = grads(lambda f: avg_voxelize_sorted(f, ids, 8, True), feats)
+    d_fuse = grads(lambda g: trilinear_devoxelize_sorted(g, nc, 8, True),
+                   grid)
+    # the fused scatter sums all TILE contributions in ONE dot where the
+    # per-row kernel adds two partial dots — same values up to the f32
+    # summation tree (measured max diff 6e-8); the gather is bit-exact
+    np.testing.assert_allclose(got_g, base_g, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(got_d, base_d)
+    np.testing.assert_allclose(g_fuse, g_base, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(d_fuse, d_base, rtol=1e-6, atol=1e-6)
+
+
+def test_gather_out_bf16(monkeypatch):
+    """GATHER_OUT_BF16 (r3): bf16 gather outputs only round the final
+    write (~2^-8 relative) and never engage on HIGHEST-precision paths
+    (counts stay exact)."""
+    import pcfm.ops.pallas.voxel_sorted as pvsk
+    monkeypatch.setattr(vos, "DOT_PRECISION", jax.lax.Precision.DEFAULT)
+    monkeypatch.setattr(pvsk, "GATHER_OUT_BF16", True)
+    _, nc, vc, ids, feats = _setup(n=300)
+    want = np.asarray(avg_voxelize(feats, vc, 8)).reshape(2, 512, 64)
+    grid = jnp.asarray(want)
+    want_d = np.asarray(trilinear_devoxelize(
+        grid.reshape(2, 8, 8, 8, 64), nc, 8))
+    got_d = np.asarray(vos.trilinear_devoxelize_sorted(grid, nc, 8, True))
+    np.testing.assert_allclose(got_d, want_d, rtol=3e-2, atol=3e-2)
+    # counts path (HIGHEST) stays exact integers
+    inv = np.asarray(vos.inv_counts_windowed(ids, 8, 256, True))
+    cnt = np.round(1.0 / inv)
+    np.testing.assert_allclose(1.0 / inv, cnt, atol=0)
