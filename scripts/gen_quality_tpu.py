@@ -78,6 +78,7 @@ def main():
                  ctx_stage_blocks=blocks,
                  sampler="heun",
                  sample_steps=int(os.environ.get("SAMPLE_STEPS", 25)),
+                 guidance_scale=float(os.environ.get("GUIDANCE", 0.0)),
                  seed=7)
     rng = jax.random.PRNGKey(cfg.seed)
     bundle, state, tx = init_state(cfg, rng,

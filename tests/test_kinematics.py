@@ -216,3 +216,26 @@ def test_process_one_model_end_to_end(model_dir, tmp_path):
 
 def test_write_glb_empty_pieces(tmp_path):
     assert write_glb([], tmp_path / "x.glb") is False
+
+
+def test_datagen_cli_multiprocess(model_dir, tmp_path):
+    """The ProcessPoolExecutor fan-out (reference make_dataset.py:700-816)
+    through the datagen CLI, two models x two workers."""
+    import shutil
+    from pcfm.datagen.cli import main as dg_main
+    d2 = model_dir.parent / "model_8"
+    shutil.copytree(model_dir, d2)
+    idx = tmp_path / "index.csv"
+    idx.write_text(
+        "model_id,anno_id,urdf_relpath,model_cat\n"
+        "model_7,7,model_7/mobility.urdf,Box\n"
+        "model_8,8,model_8/mobility.urdf,Box\n")
+    out = tmp_path / "out"
+    rc = dg_main(["--index", str(idx), "--dataset-dir",
+                  str(model_dir.parent), "--out-dir", str(out),
+                  "--num-combos", "2", "--points", "64", "--steps", "2",
+                  "--workers", "2"])
+    assert rc == 0
+    for anno in ("7", "8"):
+        assert (out / anno / "joint.json").is_file()
+        assert (out / anno / "pose_000" / "pointcloud.ply").is_file()
