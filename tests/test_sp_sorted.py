@@ -151,6 +151,21 @@ def test_backend_choice_pinned_per_mesh(mesh, monkeypatch):
     assert pvc._use_sorted("sorted", 32, 8, 8192)
 
 
+def test_sp_sorted_no_point_allgather(mesh):
+    """The whole point of the sp sorted path: the compiled voxelize must
+    reduce partial grids (all-reduce) and NEVER all-gather the point axis
+    (cf. test_shmap_voxelize_no_point_allgather for the XLA path)."""
+    r = 8
+    pts_s, feats_s, _, _ = _sorted_local_inputs(mesh, r=r)
+    cache = shmap_stage_cache(mesh, pts_s, r, interpret=True)
+
+    fn = jax.jit(lambda f: shmap_avg_voxelize_sorted(
+        mesh, f, cache["vox_ids"], cache["inv_pt"], r, True))
+    txt = fn.lower(feats_s).compile().as_text()
+    assert "all-reduce" in txt
+    assert "all-gather" not in txt
+
+
 def test_contextnet_sorted_sp_matches_single_device(mesh, monkeypatch):
     """Full ContextNet, sorted backend, points sharded 4-way: forward and
     input-grad must match the unsharded sorted path (which itself matches
