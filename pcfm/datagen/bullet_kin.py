@@ -249,8 +249,8 @@ class KinematicsClient:
                 lower = float(limit.get("lower", "nan") or "nan")
                 upper = float(limit.get("upper", "nan") or "nan")
             elif jx.get("type") == "continuous":
-                lower, upper = -math.inf, math.inf   # pybullet convention:
-                # continuous joints report lower > upper (no limit)
+                # pybullet convention: unlimited joints report
+                # lower > upper (find_joints then applies the +-pi fixup)
                 lower, upper = 1.0, -1.0
             body.joints.append(_Joint(
                 name=jx.get("name", f"joint_{len(body.joints)}"),
