@@ -160,6 +160,12 @@ def train(cfg: Config, verbose: bool = True) -> dict:
                 print(f"[profile] trace written to {cfg.profile_dir}")
         if pbar is not None:
             pbar.close()
+        if n_steps == 0:
+            raise ValueError(
+                f"epoch {ep} produced no batches: dataset has "
+                f"{len(train_loader.ds)} items < batch_size "
+                f"{cfg.batch_size} (drop_last). Lower --batch_size or "
+                f"add data.")
         # sync once per epoch for the metric prints
         last_metrics = {k: float(v) for k, v in metrics.items()}
         lp_ema.update(last_metrics["loss_point"])

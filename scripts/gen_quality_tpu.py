@@ -114,10 +114,17 @@ def main():
         return gen, generative_metrics(gen, te_pts, metrics=("cd",))
 
     def save_state(state):
-        # survive session death: host-side pickle of the full train state
-        host = jax.tree.map(np.asarray, state)
+        # survive session death: host-side pickle of the full train state.
+        # ONE device->host transfer (ravel_pytree): per-leaf readbacks pay
+        # a tunnel round-trip each — measured 400+ s for this state.
+        from jax.flatten_util import ravel_pytree
+        flat, unravel = ravel_pytree(state)
+        host = np.asarray(flat)
         with open(os.path.join(OUT, "state_latest.pkl"), "wb") as f:
-            pickle.dump(host, f)
+            pickle.dump({"flat": host, "unravel": None,
+                         "note": "rebuild via init_state + ravel_pytree "
+                                 "unravel on an identically-configured "
+                                 "state"}, f)
 
     npr = np.random.RandomState(1)
     hist = []

@@ -239,3 +239,49 @@ def test_datagen_cli_multiprocess(model_dir, tmp_path):
     for anno in ("7", "8"):
         assert (out / anno / "joint.json").is_file()
         assert (out / anno / "pose_000" / "pointcloud.ply").is_file()
+
+
+def test_articulated_asset_chain(tmp_path):
+    """Authored URDF+OBJ category assets (scripts/make_articulated_assets)
+    drive the datagen CLI end to end: all four categories pose, the
+    cabinet exposes prismatic+revolute joints, and the scissors cloud
+    carries its three materials' colors."""
+    import importlib.util
+    import sys as _sys
+    spec = importlib.util.spec_from_file_location(
+        "make_articulated_assets",
+        Path(__file__).parent.parent / "scripts" /
+        "make_articulated_assets.py")
+    maa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(maa)
+
+    assets = tmp_path / "assets"
+    assert maa.main(["--out", str(assets), "--per-cat", "1",
+                     "--seed", "3"]) == 0
+    rows = (assets / "index.csv").read_text().splitlines()
+    assert len(rows) == 5  # header + 4 categories
+
+    from pcfm.datagen.cli import main as dg_main
+    out = tmp_path / "poses"
+    rc = dg_main(["--index", str(assets / "index.csv"), "--dataset-dir",
+                  str(assets), "--out-dir", str(out),
+                  "--joint-types", "revolute,prismatic",
+                  "--steps", "3", "--num-combos", "4", "--points", "256",
+                  "--seed", "0", "--no-glb"])
+    assert rc == 0
+
+    model_dirs = sorted(p for p in out.iterdir() if p.is_dir())
+    assert len(model_dirs) == 4
+    # cabinet (StorageFurniture, highest model_id) has both joint types
+    cab = json.loads((model_dirs[-1] / "joint.json").read_text())
+    assert sorted(j["type"] for j in cab["joints"]) == [
+        "prismatic", "revolute"]
+    assert len(list(model_dirs[-1].glob("pose_*"))) == 4  # 3x3 grid, 4 combos
+    # scissors cloud: steel + two grip materials -> >=3 distinct colors
+    from pcfm.data.ply import load_ply
+    pts, rgb = load_ply(str(model_dirs[0] / "pose_000" / "pointcloud.ply"))
+    assert pts.shape == (256, 3)
+    assert np.unique(rgb, axis=0).shape[0] >= 3
+    ang = json.loads(
+        (model_dirs[0] / "pose_000" / "angles.json").read_text())
+    assert len(ang["angles"]) == 1
