@@ -332,3 +332,16 @@ def test_train_step_deterministic():
                          state.params)[0])))
     assert outs[0][0] == outs[1][0]
     np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_zero_batch_epoch_clear_error(tmp_path):
+    """Dataset smaller than one batch (drop_last) must fail with a clear
+    message, not an UnboundLocalError mid-epoch."""
+    import pytest
+    cfg = Config(dataset_type="synthetic", epochs=1, batch_size=4096,
+                 tr_max_sample_points=32, te_max_sample_points=32,
+                 latent_dim=8, pf_width=16, pf_depth=2, pf_emb_dim=8,
+                 lf_width=16, lf_depth=2, lf_emb_dim=8,
+                 out_dir=str(tmp_path), num_workers=0, save_every=100)
+    with pytest.raises(ValueError, match="batch_size"):
+        train(cfg, verbose=False)
