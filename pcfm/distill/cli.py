@@ -34,6 +34,11 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--ema_decay", type=float, default=0.999)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--guidance_scale", type=float, default=None,
+                   help="distill the CFG-guided field at this scale "
+                        "(default: the run's own guidance_scale); the "
+                        "saved config gets guidance_scale=0 — the student "
+                        "bakes the guidance in")
     args = p.parse_args(argv)
 
     cfg, bundle, state, ep = load_run(args.out_dir)
@@ -53,11 +58,13 @@ def main(argv: Optional[Sequence[str]] = None):
                     cond_dim=cfg.cond_dim))
             ep_i += 1
 
+    gscale = (cfg.guidance_scale if args.guidance_scale is None
+              else args.guidance_scale)
     pf_params, pf_ema, steps = distill_pf(
         bundle, state, batches, base_steps=cfg.sample_steps,
         phases=args.phases, steps_per_phase=args.steps_per_phase,
         lr=args.lr, ema_decay=args.ema_decay,
-        rng=jax.random.PRNGKey(args.seed))
+        rng=jax.random.PRNGKey(args.seed), guidance_scale=gscale)
 
     new_params = dict(state.params)
     new_params["pf"] = pf_params
@@ -70,7 +77,10 @@ def main(argv: Optional[Sequence[str]] = None):
         params=new_params, batch_stats=new_bs,
         ema_pf={"params": pf_ema,
                 "batch_stats": state.ema_pf["batch_stats"]})
-    new_cfg = cfg.replace(sampler="euler", sample_steps=steps)
+    # guidance (if any) is baked into the student: zero the config scale so
+    # the sample/eval CLIs don't apply CFG a second time
+    new_cfg = cfg.replace(sampler="euler", sample_steps=steps,
+                          guidance_scale=0.0)
     save_dir = args.save_dir or (args.out_dir.rstrip("/") + "_distilled")
     os.makedirs(save_dir, exist_ok=True)
     ckpt.save(save_dir, ep, new_state, new_cfg, async_save=False)

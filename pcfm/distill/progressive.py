@@ -59,13 +59,21 @@ def _teacher_two_heun(vf: Callable, x, t, dt):
 
 
 def make_distill_step(bundle: ModelBundle, tx: optax.GradientTransformation,
-                      phase_steps: int, ema_decay: float = 0.999):
+                      phase_steps: int, ema_decay: float = 0.999,
+                      guidance_scale: float = 0.0):
     """Jitted distillation step for one phase (student grid = phase_steps).
 
     Signature: (teacher_pf, dstate, enc_params, enc_stats, batch, rng)
     -> (dstate, metrics); `teacher_pf` is {'params', 'batch_stats'}.
     BN runs in eval mode throughout (running stats frozen at their trained
     values — the reference's set_bn_eval discipline, models.py:663-673).
+
+    guidance_scale > 0 distills the CLASSIFIER-FREE-GUIDED composite field
+    ``v_c + s (v_c - v_u)`` (guided distillation, Meng et al. 2023 applied
+    to the rectified-flow velocity): the teacher rollout integrates the
+    guided field while the student sees only the conditional input — the
+    guidance is baked into the student's weights, so few-step sampling
+    runs at guidance 0 (ONE forward per eval instead of the CFG 2B batch).
     """
     cfg = bundle.cfg
     n_steps = float(phase_steps)
@@ -102,10 +110,11 @@ def make_distill_step(bundle: ModelBundle, tx: optax.GradientTransformation,
 
         vf_t = bundle.pf_velocity_fn(teacher_pf["params"],
                                      teacher_pf["batch_stats"])
+        from pcfm.sample.integrators import make_guided
+        teacher_vf = make_guided(vf_t, cond_full, guidance_scale)
         dt = 1.0 / n_steps
         x_pp = jax.lax.stop_gradient(
-            _teacher_two_heun(lambda x, tt: vf_t(x, tt, cond_full), x_t, t,
-                              dt))
+            _teacher_two_heun(teacher_vf, x_t, t, dt))
         v_star = (x_pp - x_t) / dt
 
         v_s, _ = bundle.apply_pf(params_s, teacher_pf["batch_stats"], x_t,
@@ -134,7 +143,8 @@ def distill_pf(bundle: ModelBundle, state: TrainState,
                base_steps: int = 50, phases: int = 3,
                steps_per_phase: int = 400, lr: float = 1e-4,
                ema_decay: float = 0.999, rng: Optional[jax.Array] = None,
-               use_ema_teacher: bool = True, verbose: bool = True):
+               use_ema_teacher: bool = True, verbose: bool = True,
+               guidance_scale: float = 0.0):
     """Run `phases` halvings starting from the trained point flow.
 
     Args:
@@ -142,9 +152,14 @@ def distill_pf(bundle: ModelBundle, state: TrainState,
         e.g. re-winding a DataLoader each phase.
       base_steps: the teacher's step count at phase 0 (the run's
         sample_steps).
+      guidance_scale: if > 0, phase 0 distills the CFG-guided composite
+        field (see make_distill_step) — later phases distill the phase-0
+        student, which already has the guidance baked in, so they run
+        unguided (applying CFG again would compound the scale).
     Returns (pf_params, pf_ema_params, final_steps): the distilled student
     (drop-in replacements for state.params['pf'] / ema_pf['params']) and
-    its Euler step count base_steps // 2^phases.
+    its Euler step count base_steps // 2^phases.  Sample the student with
+    guidance_scale=0 regardless of the distillation scale.
     """
     if phases < 1:
         raise ValueError(f"distill_pf: phases must be >= 1, got {phases} "
@@ -168,7 +183,9 @@ def distill_pf(bundle: ModelBundle, state: TrainState,
             params=student,
             ema_params=jax.tree_util.tree_map(jnp.copy, student),
             opt_state=tx.init(student), step=jnp.zeros((), jnp.int32))
-        dstep = make_distill_step(bundle, tx, steps, ema_decay)
+        dstep = make_distill_step(bundle, tx, steps, ema_decay,
+                                  guidance_scale=(guidance_scale
+                                                  if phase == 0 else 0.0))
         it = 0
         m = None
         for batch in batches(phase):

@@ -33,9 +33,10 @@ def trained_run(tmp_path_factory):
     return out
 
 
-def _jump_mse(bundle, pf, stats, teacher_pf, enc_p, enc_s, batch, steps):
+def _jump_mse(bundle, pf, stats, teacher_pf, enc_p, enc_s, batch, steps,
+              guidance_scale=0.0):
     """MSE between the field's 1-step Euler jump and the teacher's
-    2-sub-step Heun jump over a fixed batch."""
+    2-sub-step Heun jump (optionally CFG-guided) over a fixed batch."""
     cfg = bundle.cfg
     pts = jnp.asarray(batch["pts"], jnp.float32)
     b, n = pts.shape[:2]
@@ -53,9 +54,10 @@ def _jump_mse(bundle, pf, stats, teacher_pf, enc_p, enc_s, batch, steps):
     x_t = (1 - tb) * x0 + tb * x1
     vf_t = bundle.pf_velocity_fn(teacher_pf["params"],
                                  teacher_pf["batch_stats"])
+    from pcfm.sample.integrators import make_guided
     dt = 1.0 / steps
-    x_pp = _teacher_two_heun(lambda x, tt: vf_t(x, tt, cond_full), x_t, t,
-                             dt)
+    x_pp = _teacher_two_heun(make_guided(vf_t, cond_full, guidance_scale),
+                             x_t, t, dt)
     v_star = (x_pp - x_t) / dt
     v, _ = bundle.apply_pf(pf, stats, x_t, t, cond_full, None, train=False)
     return float(jnp.mean((v - v_star) ** 2))
@@ -98,6 +100,51 @@ def test_distill_improves_jump_match(trained_run):
     # same tree structure (drop-in pf replacement)
     assert (jax.tree_util.tree_structure(pf_params)
             == jax.tree_util.tree_structure(state.params["pf"]))
+
+
+def test_distill_guided_field(trained_run):
+    """Guided distillation (CFG baked into the student): with
+    guidance_scale>0 the phase-0 target is the GUIDED composite field's
+    jump; the student — evaluated with NO guidance — must fit that guided
+    target better than the raw conditional teacher field does."""
+    from pcfm.sample.cli import load_run
+    cfg, bundle, state, _ = load_run(trained_run)
+    from pcfm.data import DataLoader, get_datasets, to_model_batch
+    tr_ds, _ = get_datasets(cfg)
+    loader = DataLoader(tr_ds, cfg.batch_size, shuffle=True, drop_last=True,
+                        seed=1, num_workers=0)
+
+    def batches(phase):
+        while True:
+            for b in loader.epoch_batches(phase):
+                yield to_model_batch(b, train=True, has_rgb=cfg.has_rgb,
+                                     cond_dim=cfg.cond_dim)
+
+    fixed = to_model_batch(next(iter(loader.epoch_batches(99))),
+                           train=True, has_rgb=cfg.has_rgb,
+                           cond_dim=cfg.cond_dim)
+    teacher_pf = {"params": state.ema_pf["params"],
+                  "batch_stats": state.ema_pf["batch_stats"]}
+    enc_p, enc_s = state.params["enc"], state.batch_stats["enc"]
+    steps = max(1, cfg.sample_steps // 2)
+    G = 2.0
+    before = _jump_mse(bundle, teacher_pf["params"],
+                       teacher_pf["batch_stats"], teacher_pf, enc_p, enc_s,
+                       fixed, steps, guidance_scale=G)
+    pf_params, _, out_steps = distill_pf(
+        bundle, state, batches, base_steps=cfg.sample_steps, phases=1,
+        steps_per_phase=60, lr=3e-4, rng=jax.random.PRNGKey(0),
+        verbose=False, guidance_scale=G)
+    assert out_steps == steps
+    after = _jump_mse(bundle, pf_params, teacher_pf["batch_stats"],
+                      teacher_pf, enc_p, enc_s, fixed, steps,
+                      guidance_scale=G)
+    assert after < before, (before, after)
+    # non-vacuous: the guided target genuinely differs from the unguided one
+    unguided = _jump_mse(bundle, teacher_pf["params"],
+                         teacher_pf["batch_stats"], teacher_pf, enc_p,
+                         enc_s, fixed, steps, guidance_scale=0.0)
+    assert abs(before - unguided) > 1e-8, (before, unguided)
 
 
 def test_distill_phases_zero_rejected(trained_run):
