@@ -85,17 +85,26 @@ def main():
     steps_per_epoch = SIZE // B
     bundle, state0, _ = init_state(cfg, rng,
                                    total_steps=EPOCHS * steps_per_epoch)
-    from jax.flatten_util import ravel_pytree
-    flat0, unravel = ravel_pytree(state0)
     with open(STATE_PKL, "rb") as f:
         saved = pickle.load(f)
-    host = np.asarray(saved["flat"])
-    assert host.shape == flat0.shape, (host.shape, flat0.shape)
-    state = unravel(jax.device_put(jnp.asarray(host)))
-    del state0, flat0
+    if isinstance(saved, dict):                 # flat-ravel format
+        from jax.flatten_util import ravel_pytree
+        flat0, unravel = ravel_pytree(state0)
+        host = np.asarray(saved["flat"])
+        assert host.shape == flat0.shape, (host.shape, flat0.shape)
+        state = unravel(jax.device_put(jnp.asarray(host)))
+        del flat0
+    else:                                       # full host-side TrainState
+        assert (jax.tree_util.tree_structure(saved)
+                == jax.tree_util.tree_structure(state0)), "state mismatch"
+        state = jax.device_put(saved)
+    nbytes = sum(np.asarray(l).nbytes
+                 for l in jax.tree_util.tree_leaves(saved)) \
+        if not isinstance(saved, dict) else saved["flat"].nbytes
+    del state0
     print(f"[dguided] state restored from {STATE_PKL} "
-          f"({host.nbytes / 1e6:.0f} MB, {time.time() - t_all:.0f}s)",
-          flush=True)
+          f"({nbytes / 1e6:.0f} MB, step {int(state.step)}, "
+          f"{time.time() - t_all:.0f}s)", flush=True)
 
     ds = SyntheticDataset(split="train", size=SIZE, n_points=N,
                           tr_sample_size=N, te_sample_size=N,
