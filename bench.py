@@ -106,6 +106,17 @@ def main():
           f"(293 steps), {fl/1e12:.2f} TFLOP/step, "
           f"MFU {out['mlp_mfu']*100:.1f}%", file=sys.stderr)
 
+    try:  # HBM footprint (reference parity row: ~9 GB on H100 for this
+        # workload, README.md:153); axon tunnel may not expose stats
+        ms = dev.memory_stats() or {}
+        peak = ms.get("peak_bytes_in_use")
+        if peak:
+            out["mlp_peak_hbm_gb"] = round(peak / 2**30, 2)
+            print(f"[bench] mlp peak HBM: {peak / 2**30:.2f} GiB",
+                  file=sys.stderr)
+    except Exception:
+        pass
+
     try:
         hcfg = Config(pf_backbone="hybrid", **base)
         h_time, h_fl = bench_step(hcfg, b, n, iters=20)
@@ -116,6 +127,15 @@ def main():
               f"({h_time*STEPS_PER_EPOCH:.1f} s/epoch), "
               f"{h_fl/1e12:.2f} TFLOP/step, "
               f"MFU {out['hybrid_mfu']*100:.1f}%", file=sys.stderr)
+        try:
+            ms = dev.memory_stats() or {}
+            peak = ms.get("peak_bytes_in_use")
+            if peak:
+                out["peak_hbm_gb"] = round(peak / 2**30, 2)
+                print(f"[bench] peak HBM (both backbones): "
+                      f"{peak / 2**30:.2f} GiB", file=sys.stderr)
+        except Exception:
+            pass
     except Exception as e:
         print(f"[bench] hybrid bench failed: {e}", file=sys.stderr)
 
