@@ -77,10 +77,13 @@ def main(argv: Optional[Sequence[str]] = None):
         params=new_params, batch_stats=new_bs,
         ema_pf={"params": pf_ema,
                 "batch_stats": state.ema_pf["batch_stats"]})
-    # guidance (if any) is baked into the student: zero the config scale so
-    # the sample/eval CLIs don't apply CFG a second time
+    # when guidance was baked into the student (gscale > 0), zero the config
+    # scale so the sample/eval CLIs don't apply CFG a second time; an
+    # unguided distillation (explicit --guidance_scale 0 on a guided run)
+    # keeps the run's own scale for sampling
     new_cfg = cfg.replace(sampler="euler", sample_steps=steps,
-                          guidance_scale=0.0)
+                          guidance_scale=(0.0 if gscale > 0
+                                          else cfg.guidance_scale))
     save_dir = args.save_dir or (args.out_dir.rstrip("/") + "_distilled")
     os.makedirs(save_dir, exist_ok=True)
     ckpt.save(save_dir, ep, new_state, new_cfg, async_save=False)

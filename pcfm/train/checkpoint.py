@@ -145,7 +145,9 @@ def restore(path: str, state: TrainState) -> Tuple[TrainState, dict]:
                 os.path.join(os.path.abspath(path), "state"), abstract)
     except Exception as e:  # noqa: BLE001 — re-raise with actionable hint
         if "opt_state" in str(e):
-            raise type(e)(
+            # RuntimeError, not type(e): orbax exception classes may not
+            # accept a single-str constructor (review r3 finding)
+            raise RuntimeError(
                 f"{e}\n[pcfm] The checkpoint's optimizer-state tree does "
                 "not match this run's. Most likely the checkpoint was "
                 "trained with the other optimizer backend "

@@ -40,15 +40,19 @@ def _dot_flops(eqn) -> int:
 
 
 def _conv_flops(eqn) -> int:
-    """2 * out_elems * (in_ch / groups) * kernel_spatial for a conv."""
+    """2 * out_elems * in_ch_per_group * kernel_spatial for a conv.
+
+    The XLA conv kernel operand's input-feature dim is ALREADY
+    C_in / feature_group_count, so no further division by groups —
+    dividing again undercounts grouped/depthwise convs by a groups
+    factor (review r3 finding, verified empirically)."""
     rhs = eqn.invars[1].aval
     out = eqn.outvars[0].aval
     dn = eqn.params["dimension_numbers"]
-    groups = int(eqn.params.get("feature_group_count", 1))
     kspatial = int(np.prod([rhs.shape[i] for i in dn.rhs_spec[2:]]))
-    in_ch = int(rhs.shape[dn.rhs_spec[1]])
+    in_ch_per_group = int(rhs.shape[dn.rhs_spec[1]])
     out_elems = int(np.prod(out.shape))
-    return 2 * out_elems * in_ch * kspatial // max(1, groups)
+    return 2 * out_elems * in_ch_per_group * kspatial
 
 
 def _walk(jaxpr, mult: int = 1) -> int:
@@ -72,13 +76,19 @@ def _walk(jaxpr, mult: int = 1) -> int:
         elif prim == "pallas_call":
             continue  # kernel-internal dots are overhead, not model FLOPs
         else:
+            # remat2 carries an OPEN core.Jaxpr under params['jaxpr'];
+            # everything else wraps sub-jaxprs as ClosedJaxpr
             for v in eqn.params.values():
                 if isinstance(v, jax.extend.core.ClosedJaxpr):
                     total += _walk(v.jaxpr, mult)
+                elif isinstance(v, jax.extend.core.Jaxpr):
+                    total += _walk(v, mult)
                 elif isinstance(v, (tuple, list)):
                     for u in v:
                         if isinstance(u, jax.extend.core.ClosedJaxpr):
                             total += _walk(u.jaxpr, mult)
+                        elif isinstance(u, jax.extend.core.Jaxpr):
+                            total += _walk(u, mult)
     return total
 
 

@@ -58,7 +58,7 @@ subprocess.run([sys.executable, os.path.join(SCRIPTS, "make_dataset.py"),
                 "--steps", STEPS, "--num-combos", "40",
                 "--points", str(2 * NPTS), "--seed", "0", "--no-glb",
                 "--workers", "8"], check=True, env=env)
-n_poses = sum(len(files) for _, _, files in os.walk(poses)
+n_poses = sum(1 for _, _, files in os.walk(poses)
               if "pointcloud.ply" in files)
 print(f"[artnet] datagen: {n_poses} poses ({time.time() - t_all:.0f}s)",
       flush=True)

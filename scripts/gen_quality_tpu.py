@@ -2,8 +2,11 @@
 """Generative-quality hardware run (VERDICT r2 #3): train the flagship
 hybrid backbone on the 2048-pt synthetic workload long enough for the
 latent-flow -> point-flow pipeline to MATCH the data distribution, and
-track the MMD/COV/1-NNA suite until 1-NNA <= 0.75 and COV >= 0.4
-(PointFlow protocol; reference intent train.py:359-429 save_val_samples).
+track the MMD/COV/1-NNA suite; the report target is 1-NNA <= 0.75 and
+COV >= 0.4 (PointFlow protocol; reference intent train.py:359-429
+save_val_samples), while the in-loop early stop deliberately uses the
+STRICTER 1-NNA <= 0.70 / COV >= 0.45 so a run keeps improving past the
+bare target until its time budget runs out.
 
 Device-resident data (dev-tunnel H2D is ~10 MB/s); ONE clean-exiting TPU
 session; suite evaluated every EVAL_EVERY epochs on conditioned samples

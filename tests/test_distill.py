@@ -158,12 +158,28 @@ def test_distill_phases_zero_rejected(trained_run):
 
 
 def test_distill_cli_roundtrip(trained_run, tmp_path):
+    """Distill CLI -> sample CLI pickup (regression r3: this tail was
+    accidentally spliced into the hybrid test below, leaving the
+    roundtrip test asserting nothing past the step count)."""
     from pcfm.distill.cli import main as distill_main
     save = str(tmp_path / "distilled")
     out_dir, steps = distill_main(
         ["--out_dir", trained_run, "--save_dir", save, "--phases", "2",
          "--steps_per_phase", "10"])
     assert steps == 1                      # 4 -> 2 -> 1
+    from pcfm.sample.cli import main as sample_main
+    gen = str(tmp_path / "gen")
+    sample_main(["--out_dir", save, "--save_dir", gen,
+                 "--num_samples", "2", "--n_points", "32"])
+    assert os.path.isfile(os.path.join(gen, "sample_0.ply"))
+    import json
+    from pcfm.train import checkpoint as ckpt
+    path, _ = ckpt.find_latest(save)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["config"]["sampler"] == "euler"
+    assert meta["config"]["sample_steps"] == 1
+
 
 def test_distill_cli_hybrid_bn_stats(tmp_path):
     """Regression (ADVICE r2): for a BN-bearing (hybrid) run the distilled

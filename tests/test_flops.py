@@ -22,6 +22,30 @@ def test_conv3d_flops_exact():
     assert n == 2 * (2 * 4 * 4 * 4) * 16 * 8 * 27
 
 
+def test_depthwise_conv_flops_exact():
+    """Regression (review r3): the conv kernel operand's in-feature dim is
+    already C_in/groups — dividing by groups again undercounted
+    grouped/depthwise convs by a groups factor."""
+    import flax.linen as nn
+    conv = nn.Conv(8, (3, 3), padding="SAME", feature_group_count=8)
+    x = jnp.zeros((1, 4, 4, 8))
+    p = conv.init(jax.random.PRNGKey(0), x)
+    n = count_matmul_flops(lambda p, x: conv.apply(p, x), p, x)
+    assert n == 2 * (1 * 4 * 4 * 8) * 1 * 9    # out_elems * C_in/g * k
+
+
+def test_remat_body_counted():
+    """Regression (review r3): remat2 carries an open Jaxpr, which the
+    sub-jaxpr walk skipped — dots under jax.checkpoint counted as zero."""
+    w = jnp.zeros((32, 32))
+
+    def f(x, w):
+        return jax.checkpoint(lambda x: x @ w)(x)
+
+    n = count_matmul_flops(f, jnp.zeros((8, 32)), w)
+    assert n == 2 * 8 * 32 * 32
+
+
 def test_scan_multiplies_trip_count():
     def scanned(x):
         def body(c, _):
