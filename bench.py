@@ -38,7 +38,7 @@ BASELINE_SEC_PER_EPOCH = 25.0  # reference README.md:153 (1x H100)
 
 def bench_step(cfg: Config, b: int, n: int, iters: int = 50,
                warmup: int = 5):
-    """Returns (sec/step, model FLOPs/step)."""
+    """Returns (sec/step, model FLOPs/step, hbm_bytes_or_None)."""
     bundle, state, tx = init_state(cfg, jax.random.PRNGKey(0),
                                    total_steps=cfg.epochs * STEPS_PER_EPOCH)
     step = make_train_step(bundle, tx, donate=True)
@@ -52,6 +52,18 @@ def bench_step(cfg: Config, b: int, n: int, iters: int = 50,
     c_on, d_p = jnp.float32(1.0), jnp.float32(0.1)
 
     flops = count_matmul_flops(step, state, batch, key, c_on, d_p)
+    hbm = None
+    try:  # step-footprint from the compiled buffer assignment (the
+        # reference parity row: ~9 GB on H100, README.md:153).  args
+        # covers params/opt-state/batch; temp is XLA's scratch high-water.
+        ma = step.lower(state, batch, key, c_on,
+                        d_p).compile().memory_analysis()
+        if ma is not None:
+            peak = getattr(ma, "peak_memory_in_bytes", 0) or 0
+            hbm = max(peak, ma.argument_size_in_bytes
+                      + ma.temp_size_in_bytes)
+    except Exception:
+        pass
 
     rngs = [jax.random.fold_in(key, i) for i in range(warmup + iters)]
     for i in range(warmup):
@@ -64,7 +76,7 @@ def bench_step(cfg: Config, b: int, n: int, iters: int = 50,
     for i in range(iters):
         state, m = step(state, batch, rngs[warmup + i], c_on, d_p)
     float(m["loss"])
-    return (time.perf_counter() - t0) / iters, flops
+    return (time.perf_counter() - t0) / iters, flops, hbm
 
 
 def bench_sampler(cfg: Config, b: int, n: int, iters: int = 5) -> float:
@@ -96,46 +108,34 @@ def main():
                 warmup_steps=0)
     cfg = Config(pf_backbone="mlp", **base)
 
-    step_time, fl = bench_step(cfg, b, n)
+    step_time, fl, hbm = bench_step(cfg, b, n)
     sec_per_epoch = step_time * STEPS_PER_EPOCH
     out["mlp_step_ms"] = round(step_time * 1e3, 2)
     out["mlp_sec_per_epoch"] = round(sec_per_epoch, 3)
     out["mlp_mfu"] = round(fl / step_time / V5E_BF16_PEAK, 4)
+    if hbm:
+        out["mlp_step_hbm_gb"] = round(hbm / 2**30, 2)
     print(f"[bench] mlp 20k RGB: {step_time*1e3:.2f} ms/step, "
           f"{b*n/step_time/1e6:.2f}M pts/s, {sec_per_epoch:.2f} s/epoch "
           f"(293 steps), {fl/1e12:.2f} TFLOP/step, "
-          f"MFU {out['mlp_mfu']*100:.1f}%", file=sys.stderr)
-
-    try:  # HBM footprint (reference parity row: ~9 GB on H100 for this
-        # workload, README.md:153); axon tunnel may not expose stats
-        ms = dev.memory_stats() or {}
-        peak = ms.get("peak_bytes_in_use")
-        if peak:
-            out["mlp_peak_hbm_gb"] = round(peak / 2**30, 2)
-            print(f"[bench] mlp peak HBM: {peak / 2**30:.2f} GiB",
-                  file=sys.stderr)
-    except Exception:
-        pass
+          f"MFU {out['mlp_mfu']*100:.1f}%"
+          + (f", step HBM {hbm / 2**30:.2f} GiB" if hbm else ""),
+          file=sys.stderr)
 
     try:
         hcfg = Config(pf_backbone="hybrid", **base)
-        h_time, h_fl = bench_step(hcfg, b, n, iters=20)
+        h_time, h_fl, h_hbm = bench_step(hcfg, b, n, iters=20)
         out["hybrid_step_ms"] = round(h_time * 1e3, 2)
         out["hybrid_sec_per_epoch"] = round(h_time * STEPS_PER_EPOCH, 3)
         out["hybrid_mfu"] = round(h_fl / h_time / V5E_BF16_PEAK, 4)
+        if h_hbm:
+            out["hybrid_step_hbm_gb"] = round(h_hbm / 2**30, 2)
         print(f"[bench] hybrid 20k RGB: {h_time*1e3:.1f} ms/step "
               f"({h_time*STEPS_PER_EPOCH:.1f} s/epoch), "
               f"{h_fl/1e12:.2f} TFLOP/step, "
-              f"MFU {out['hybrid_mfu']*100:.1f}%", file=sys.stderr)
-        try:
-            ms = dev.memory_stats() or {}
-            peak = ms.get("peak_bytes_in_use")
-            if peak:
-                out["peak_hbm_gb"] = round(peak / 2**30, 2)
-                print(f"[bench] peak HBM (both backbones): "
-                      f"{peak / 2**30:.2f} GiB", file=sys.stderr)
-        except Exception:
-            pass
+              f"MFU {out['hybrid_mfu']*100:.1f}%"
+              + (f", step HBM {h_hbm / 2**30:.2f} GiB" if h_hbm else ""),
+              file=sys.stderr)
     except Exception as e:
         print(f"[bench] hybrid bench failed: {e}", file=sys.stderr)
 

@@ -87,8 +87,9 @@ def test_bench_step_smoke_tiny():
                  amp=False, has_rgb=True, cond_dim=1, pointflow_rgb=True,
                  use_rgb_in_latent=True, batch_size=2,
                  tr_max_sample_points=32)
-    t, fl = bench.bench_step(cfg, 2, 32, iters=2, warmup=1)
+    t, fl, hbm = bench.bench_step(cfg, 2, 32, iters=2, warmup=1)
     assert t > 0 and fl > 0
+    assert hbm is None or hbm > 0
     assert 0 < mfu(fl, t, peak=V5E_BF16_PEAK) < 1
 
 
