@@ -1,0 +1,266 @@
+"""Reference-checkpoint importer (pcfm.interop) tests.
+
+A reference-format ``hybrid_epNNNN.pt`` is synthesized from the torch
+mirrors (tests/torch_mirror*.py — attribute names for the mlp-side modules
+already match the reference exactly; the hybrid mirror is re-keyed to the
+reference's names by ``ref_sd_from_hybrid``), imported, and the resulting
+pcfm state must reproduce the torch forward pass.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from pcfm import interop  # noqa: E402
+from pcfm.config import Config  # noqa: E402
+from tests import torch_mirror as tm  # noqa: E402
+from tests import torch_mirror_hybrid as tmh  # noqa: E402
+
+ATOL = 2e-5
+
+
+# ------------------------------------------------- reference-format export
+
+def _put_lin(sd, prefix, linear, conv1d=False):
+    w = linear.weight.detach().clone()
+    sd[f"{prefix}.weight"] = w[:, :, None] if conv1d else w
+    if linear.bias is not None:
+        sd[f"{prefix}.bias"] = linear.bias.detach().clone()
+
+
+def _put_bn(sd, prefix, bn):
+    for k in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"{prefix}.{k}"] = getattr(bn, k).detach().clone()
+    sd[f"{prefix}.num_batches_tracked"] = bn.num_batches_tracked.clone()
+
+
+def _put_shared_mlp(sd, prefix, sm):
+    # reference SharedMLP = Sequential([Conv1d, BN, ReLU] * k)
+    for i, (linear, bn) in enumerate(zip(sm.linears, sm.bns)):
+        _put_lin(sd, f"{prefix}.layers.{3 * i}", linear, conv1d=True)
+        _put_bn(sd, f"{prefix}.layers.{3 * i + 1}", bn)
+
+
+def _put_pvconv(sd, prefix, pv):
+    # reference PVConv.voxel_layers = [Conv3d, BN, LReLU, Conv3d, BN,
+    # LReLU, (SE3d)]; point branch = point_features
+    for name, conv, bn in (("0", pv.conv0, pv.bn0), ("3", pv.conv1,
+                                                     pv.bn1)):
+        sd[f"{prefix}.voxel_layers.{name}.weight"] = \
+            conv.weight.detach().clone()
+        sd[f"{prefix}.voxel_layers.{name}.bias"] = conv.bias.detach().clone()
+        _put_bn(sd, f"{prefix}.voxel_layers.{int(name) + 1}", bn)
+    if pv.se is not None:
+        sd[f"{prefix}.voxel_layers.6.fc.0.weight"] = \
+            pv.se.fc1.weight.detach().clone()
+        sd[f"{prefix}.voxel_layers.6.fc.2.weight"] = \
+            pv.se.fc2.weight.detach().clone()
+    _put_shared_mlp(sd, f"{prefix}.point_features", pv.point)
+
+
+def ref_sd_from_hybrid(m: "tmh.HybridMLPT"):
+    """Mirror HybridMLPT -> state_dict keyed exactly like the reference
+    HybridMLP (models.py:604-694 + pvcnn modules)."""
+    sd = {}
+    ctx = m.ctx_net
+    _put_lin(sd, "ctx_net.t_proj", ctx.t_proj)
+    _put_lin(sd, "ctx_net.c_proj", ctx.c_proj)
+    for si, (proj, blocks) in enumerate(zip(ctx.projs, ctx.stage_blocks)):
+        _put_shared_mlp(sd, f"ctx_net.stages.{si}.proj", proj)
+        for bi, blk in enumerate(blocks):
+            b = f"ctx_net.stages.{si}.blocks.{bi}"
+            _put_pvconv(sd, f"{b}.pvconv", blk.pvconv)
+            _put_shared_mlp(sd, f"{b}.post", blk.post)
+            _put_lin(sd, f"{b}.film.affine", blk.film.affine)
+            sd[f"{b}.film.norm.weight"] = \
+                blk.film.norm.weight.detach().clone()
+            sd[f"{b}.film.norm.bias"] = blk.film.norm.bias.detach().clone()
+    if ctx.with_global:
+        _put_lin(sd, "ctx_net.global_mlp.0", ctx.global_0)
+        _put_lin(sd, "ctx_net.global_mlp.2", ctx.global_1)
+    _put_lin(sd, "ctx_net.head_pre", ctx.head_pre, conv1d=True)
+    sd["ctx_net.head_norm.weight"] = ctx.head_norm.weight.detach().clone()
+    sd["ctx_net.head_norm.bias"] = ctx.head_norm.bias.detach().clone()
+    _put_lin(sd, "ctx_net.head_out", ctx.head_out, conv1d=True)
+    _put_lin(sd, "ctx_net.ctx_from_emb.0", ctx.ctx_from_emb)
+    for k, v in m.head.state_dict().items():   # names already reference-
+        sd[f"head.{k}"] = v                    # exact (input/blocks/films)
+    return sd
+
+
+def _randomize_bn_stats(module, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    for mod in module.modules():
+        if isinstance(mod, (torch.nn.BatchNorm1d, torch.nn.BatchNorm3d)):
+            mod.running_mean.copy_(torch.randn(mod.running_mean.shape,
+                                               generator=g) * 0.1)
+            mod.running_var.copy_(torch.rand(mod.running_var.shape,
+                                             generator=g) * 0.5 + 0.75)
+
+
+# ------------------------------------------------------------- mlp path
+
+def _mlp_args(latent=16, cond=4, width=32, depth=3, emb=16):
+    return dict(pf_backbone="mlp", latent_dim=latent, enc_width=16,
+                enc_depth=4, pf_width=width, pf_depth=depth,
+                pf_emb_dim=emb, lf_width=24, lf_depth=3, lf_emb_dim=16,
+                amp=False, use_bf16=False, has_rgb=False, cond_dim=cond,
+                use_rgb_in_latent=False, pointflow_rgb=False,
+                out_dir="ignored", extra_reference_only_flag=1)
+
+
+def _make_mlp_ckpt(args, seed=0):
+    torch.manual_seed(seed)
+    cfg_probe = interop.config_from_reference_args(args)
+    enc_t = tm.ShapeEncoderT(args["latent_dim"], args["enc_width"],
+                             args["enc_depth"],
+                             cfg_probe.enc_in_channels).eval()
+    pf_t = tm.VelocityNetT(cfg_probe.pf_cond_dim, args["pf_width"],
+                           args["pf_depth"], args["pf_emb_dim"],
+                           cfg_probe.pf_point_dim).eval()
+    lf_t = tm.LatentVelocityNetT(args["latent_dim"], 0, args["lf_width"],
+                                 args["lf_depth"], args["lf_emb_dim"]).eval()
+    ckpt = {"epoch": 7, "global_step": 421,
+            "encoder": enc_t.state_dict(), "pf": pf_t.state_dict(),
+            "lf": lf_t.state_dict(),
+            "ema_pf": {k: v * 0.5 for k, v in pf_t.state_dict().items()},
+            "ema_lf": {k: v * 0.5 for k, v in lf_t.state_dict().items()},
+            "args": args, "cond_dim": args["cond_dim"],
+            "opt": {}, "scaler": None}
+    return ckpt, enc_t, pf_t, lf_t
+
+
+def test_import_mlp_forward_parity():
+    args = _mlp_args()
+    ckpt, enc_t, pf_t, lf_t = _make_mlp_ckpt(args)
+    cfg = interop.config_from_reference_args(ckpt["args"],
+                                             cond_dim=ckpt["cond_dim"])
+    assert not hasattr(cfg, "extra_reference_only_flag")
+    bundle, state, _ = interop.state_from_reference_ckpt(ckpt, cfg)
+    assert int(state.step) == 421
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 19, cfg.pf_point_dim).astype(np.float32)
+    t = rng.rand(2).astype(np.float32)
+    c = rng.randn(2, cfg.pf_cond_dim).astype(np.float32)
+    with torch.no_grad():
+        want = pf_t(torch.from_numpy(x), torch.from_numpy(t),
+                    torch.from_numpy(c)).numpy()
+    got, _ = bundle.apply_pf(state.params["pf"], {}, jnp.asarray(x),
+                             jnp.asarray(t), jnp.asarray(c), None,
+                             train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+    pts = rng.randn(2, 33, cfg.enc_in_channels).astype(np.float32)
+    with torch.no_grad():
+        want_z, _ = enc_t(torch.from_numpy(pts))
+    got_z, _, _ = bundle.apply_enc(state.params["enc"], {},
+                                   jnp.asarray(pts), train=False)
+    np.testing.assert_allclose(np.asarray(got_z), want_z.numpy(), atol=ATOL)
+
+    y = rng.randn(2, cfg.latent_dim).astype(np.float32)
+    with torch.no_grad():
+        want_v = lf_t(torch.from_numpy(y), torch.from_numpy(t)).numpy()
+    got_v = bundle.apply_lf(state.params["lf"], jnp.asarray(y),
+                            jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(got_v), want_v, atol=ATOL)
+
+    # EMA shadow (0.5x live weights) landed in the ema subtree
+    np.testing.assert_allclose(
+        np.asarray(state.ema_pf["params"]["input"]["kernel"]),
+        0.5 * np.asarray(state.params["pf"]["input"]["kernel"]), atol=0)
+
+
+def test_import_cli_roundtrip(tmp_path):
+    from pcfm.train import checkpoint as ckpt_io
+    from pcfm.train.state import init_state
+
+    args = _mlp_args()
+    ckpt, _, pf_t, _ = _make_mlp_ckpt(args, seed=1)
+    pt = tmp_path / "hybrid_ep0007.pt"
+    torch.save(ckpt, pt)
+
+    out_dir = str(tmp_path / "run")
+    from pcfm.interop.__main__ import main as interop_main
+    interop_main([str(pt), "--out_dir", out_dir])
+
+    path, epoch = ckpt_io.find_latest(out_dir)
+    assert path is not None and epoch == 7
+    cfg = interop.config_from_reference_args(args, cond_dim=args["cond_dim"],
+                                             out_dir=out_dir)
+    _, skel, _ = init_state(cfg, jax.random.PRNGKey(0), 10)
+    restored, meta = ckpt_io.restore(path, skel)
+    assert int(restored.step) == 421 and meta["epoch"] == 7
+    want = pf_t.state_dict()["input.weight"].numpy().T
+    np.testing.assert_allclose(np.asarray(restored.params["pf"]["input"]
+                                          ["kernel"]), want, atol=0)
+
+
+# ------------------------------------------------------------ hybrid path
+
+def test_import_hybrid_forward_parity():
+    torch.manual_seed(3)
+    cond_dim, pd, depth = 3, 6, 3
+    latent = 8
+    pf_cond = latent + cond_dim
+    ctx_kw = dict(emb_dim=16, ctx_dim=8, stage_channels=(16,),
+                  stage_blocks=(1,), stage_res=(4,), with_se=True,
+                  gn_groups=4, with_global=True, t_gate_k=10.0,
+                  t_gate_tau=0.8)
+    head_kw = dict(ctx_dim=8, width=32, depth=depth, emb_dim=16)
+    net_t = tmh.HybridMLPT(pf_cond, pd, ctx_kw, head_kw).eval()
+    _randomize_bn_stats(net_t, seed=3)
+    enc_t = tm.ShapeEncoderT(latent, 16, 4, 6).eval()
+    lf_t = tm.LatentVelocityNetT(latent, 0, 24, 3, 16).eval()
+
+    args = dict(pf_backbone="hybrid", latent_dim=latent, enc_width=16,
+                enc_depth=4, pf_width=32, pf_depth=depth, pf_emb_dim=16,
+                lf_width=24, lf_depth=3, lf_emb_dim=16, ctx_dim=8,
+                ctx_emb_dim=16, ctx_stage_channels=[16],
+                ctx_stage_blocks=[1], ctx_stage_res=[4], ctx_with_se=True,
+                ctx_norm="group", ctx_gn_groups=4, ctx_with_global=True,
+                ctx_t_gate_k=10.0, ctx_t_gate_tau=0.8, amp=False,
+                use_bf16=False, has_rgb=True, cond_dim=cond_dim,
+                use_rgb_in_latent=True, pointflow_rgb=True)
+    pf_sd = ref_sd_from_hybrid(net_t)
+    ckpt = {"epoch": 2, "global_step": 55, "encoder": enc_t.state_dict(),
+            "pf": pf_sd, "lf": lf_t.state_dict(),
+            "ema_pf": {k: v.float() * 1.0 for k, v in pf_sd.items()
+                       if v.dtype.is_floating_point},
+            "ema_lf": lf_t.state_dict(), "args": args,
+            "cond_dim": cond_dim}
+    cfg = interop.config_from_reference_args(args, cond_dim=cond_dim,
+                                             voxel_backend="xla")
+    assert cfg.ctx_dtype == "fp32"
+    bundle, state, _ = interop.state_from_reference_ckpt(ckpt, cfg)
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 30, pd).astype(np.float32)
+    t = rng.rand(2).astype(np.float32)
+    cond = rng.randn(2, pf_cond).astype(np.float32)
+    with torch.no_grad():
+        want = net_t(torch.from_numpy(x), torch.from_numpy(t),
+                     torch.from_numpy(cond)).numpy()
+    got, _ = bundle.apply_pf(state.params["pf"], state.batch_stats["pf"],
+                             jnp.asarray(x), jnp.asarray(t),
+                             jnp.asarray(cond), None, train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+    # EMA (= live here) must run the same forward through the ema subtree
+    got_e, _ = bundle.apply_pf(state.ema_pf["params"],
+                               state.ema_pf["batch_stats"], jnp.asarray(x),
+                               jnp.asarray(t), jnp.asarray(cond), None,
+                               train=False)
+    np.testing.assert_allclose(np.asarray(got_e), want, atol=ATOL)
+
+
+def test_import_shape_mismatch_raises():
+    args = _mlp_args()
+    ckpt, *_ = _make_mlp_ckpt(args, seed=2)
+    bad = dict(args, pf_width=64)   # config disagrees with the tensors
+    cfg = interop.config_from_reference_args(bad, cond_dim=args["cond_dim"])
+    with pytest.raises(ValueError, match="shape|tree mismatch"):
+        interop.state_from_reference_ckpt(ckpt, cfg)

@@ -136,7 +136,7 @@ def test_two_process_dp_step(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=280)
+        out, _ = p.communicate(timeout=560)
         outs.append(out)
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
@@ -168,7 +168,7 @@ def test_two_process_sp_sorted_step(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=280)
+        out, _ = p.communicate(timeout=560)
         outs.append(out)
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
