@@ -39,6 +39,10 @@ BUDGET_S = float(os.environ.get("BUDGET_S", 1500))
 # model and report the best suite alongside the train-time setting.
 SWEEP = [float(g) for g in os.environ.get(
     "GUIDANCE_SWEEP", "").split(",") if g.strip()]
+# in-loop early-stop thresholds (defaults = the r3 stricter-than-report
+# targets; push lower for longer runs)
+NNA_TARGET = float(os.environ.get("NNA_TARGET", 0.70))
+COV_TARGET = float(os.environ.get("COV_TARGET", 0.45))
 
 float(jnp.sum(jnp.ones((8, 8))))
 print("[genq] device claimed:", jax.devices()[0], flush=True)
@@ -155,8 +159,8 @@ def main():
         if ep % EVAL_EVERY == 0 or ep == EPOCHS:
             gen, suite = run_suite(state, ep)
             row.update({k: round(float(v), 4) for k, v in suite.items()})
-            done = (suite.get("nna_cd", 1.0) <= 0.70
-                    and suite.get("cov_cd", 0.0) >= 0.45)
+            done = (suite.get("nna_cd", 1.0) <= NNA_TARGET
+                    and suite.get("cov_cd", 0.0) >= COV_TARGET)
             save_state(state)
         hist.append(row)
         print(f"[genq] {row}", flush=True)
