@@ -246,8 +246,10 @@ class KinematicsClient:
             jtype = _JOINT_TYPES.get(jx.get("type", "fixed"), JOINT_FIXED)
             lower = upper = 0.0
             if limit is not None:
-                lower = float(limit.get("lower", "nan") or "nan")
-                upper = float(limit.get("upper", "nan") or "nan")
+                # URDF spec: a missing lower/upper attribute defaults to 0
+                # (pybullet's parser does the same) — NOT unlimited
+                lower = float(limit.get("lower", "0") or "0")
+                upper = float(limit.get("upper", "0") or "0")
             elif jx.get("type") == "continuous":
                 # pybullet convention: unlimited joints report
                 # lower > upper (find_joints then applies the +-pi fixup)

@@ -16,10 +16,11 @@ from typing import Optional, Sequence
 
 import jax
 
-from pcfm.data import DataLoader, get_datasets, to_model_batch
+from pcfm.data import DataLoader, get_datasets
 from pcfm.distill.progressive import distill_pf
 from pcfm.sample.cli import load_run
 from pcfm.train import checkpoint as ckpt
+from pcfm.train.loop import device_prefetch
 
 
 def main(argv: Optional[Sequence[str]] = None):
@@ -50,21 +51,30 @@ def main(argv: Optional[Sequence[str]] = None):
                         seed=cfg.seed + 1, num_workers=cfg.num_workers)
 
     def batches(phase: int):
-        ep_i = 0
-        while True:                      # rewind for as long as the phase runs
-            for b in loader.epoch_batches(1000 * phase + ep_i):
-                yield jax.device_put(to_model_batch(
-                    b, train=True, has_rgb=cfg.has_rgb,
-                    cond_dim=cfg.cond_dim))
-            ep_i += 1
+        def raw():
+            ep_i = 0
+            while True:              # rewind for as long as the phase runs
+                yield from loader.epoch_batches(1000 * phase + ep_i)
+                ep_i += 1
+        # overlap H2D with compute exactly like the train loop
+        # (pcfm/train/loop.py device_prefetch; the dev-tunnel link is
+        # ~10 MB/s, a synchronous per-step put would dominate wall-clock)
+        yield from device_prefetch(raw(), None, cfg)
 
     gscale = (cfg.guidance_scale if args.guidance_scale is None
               else args.guidance_scale)
+    # an UNGUIDED distillation of a CFG-trained run keeps the run's
+    # guidance_scale for sampling (see new_cfg below) — so the student's
+    # unconditional branch must stay supervised via cond dropout, or
+    # sample-time CFG would pair v_c with an unsupervised v_u
+    drop_p = (cfg.cfg_drop_p if (gscale == 0 and cfg.guidance_scale > 0)
+              else 0.0)
     pf_params, pf_ema, steps = distill_pf(
         bundle, state, batches, base_steps=cfg.sample_steps,
         phases=args.phases, steps_per_phase=args.steps_per_phase,
         lr=args.lr, ema_decay=args.ema_decay,
-        rng=jax.random.PRNGKey(args.seed), guidance_scale=gscale)
+        rng=jax.random.PRNGKey(args.seed), guidance_scale=gscale,
+        cond_drop_p=drop_p)
 
     new_params = dict(state.params)
     new_params["pf"] = pf_params
@@ -87,8 +97,11 @@ def main(argv: Optional[Sequence[str]] = None):
     save_dir = args.save_dir or (args.out_dir.rstrip("/") + "_distilled")
     os.makedirs(save_dir, exist_ok=True)
     ckpt.save(save_dir, ep, new_state, new_cfg, async_save=False)
+    # actual reduction (steps clamp at 1, so 2**phases can overstate it);
+    # the teacher's Heun loop costs 2 evals/step vs the student's 1
+    factor = max(1, 2 * cfg.sample_steps // max(1, steps))
     print(f"[distill] saved distilled checkpoint (euler x{steps}, "
-          f"{2 ** args.phases}x fewer NFE) to {save_dir}")
+          f"{factor}x fewer NFE) to {save_dir}")
     return save_dir, steps
 
 

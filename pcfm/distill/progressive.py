@@ -48,7 +48,11 @@ class DistillState(flax.struct.PyTreeNode):
 
 
 def _teacher_two_heun(vf: Callable, x, t, dt):
-    """Two Heun (RK2) sub-steps of size dt/2 from (x, t) -> x''."""
+    """Two Heun (RK2) sub-steps of size dt/2 from (x, t) -> x''.
+
+    Right for the PHASE-0 teacher only: the trained network is a
+    continuous velocity field, so higher-order integration gives the most
+    accurate rollout target."""
     h = dt / 2.0
     v1 = vf(x, t)
     v2 = vf(x + h * v1, t + h)
@@ -58,9 +62,25 @@ def _teacher_two_heun(vf: Callable, x, t, dt):
     return x_mid + 0.5 * h * (v3 + v4)
 
 
+def _teacher_two_euler(vf: Callable, x, t, dt):
+    """Two EULER sub-steps of size dt/2 from (x, t) -> x''.
+
+    Right for phase >= 1 teachers: a previous-phase student was trained so
+    that one Euler step of its own grid size (= dt/2 here) reproduces ITS
+    teacher's jump — its field is a secant, not a continuous velocity.
+    Heun-averaging a secant field lands somewhere its sampler never goes
+    and biases the target (Salimans & Ho distill the teacher's own
+    2-step sampler, not a re-integration of it)."""
+    h = dt / 2.0
+    x1 = x + h * vf(x, t)
+    return x1 + h * vf(x1, t + h)
+
+
 def make_distill_step(bundle: ModelBundle, tx: optax.GradientTransformation,
                       phase_steps: int, ema_decay: float = 0.999,
-                      guidance_scale: float = 0.0):
+                      guidance_scale: float = 0.0,
+                      teacher_rollout: str = "heun",
+                      cond_drop_p: float = 0.0):
     """Jitted distillation step for one phase (student grid = phase_steps).
 
     Signature: (teacher_pf, dstate, enc_params, enc_stats, batch, rng)
@@ -74,30 +94,44 @@ def make_distill_step(bundle: ModelBundle, tx: optax.GradientTransformation,
     guided field while the student sees only the conditional input — the
     guidance is baked into the student's weights, so few-step sampling
     runs at guidance 0 (ONE forward per eval instead of the CFG 2B batch).
+
+    teacher_rollout: "heun" (phase-0 continuous-field teacher) or "euler"
+    (phase >= 1: the teacher is itself an Euler-distilled student and must
+    be advanced by its OWN sampler — see _teacher_two_euler).
+
+    cond_drop_p > 0 zeroes the condition on a Bernoulli row subset (the
+    teacher rollout AND the student see the same zeroed cond), keeping the
+    student's unconditional branch supervised — required when the saved
+    run will still apply CFG at sample time.
     """
     cfg = bundle.cfg
     n_steps = float(phase_steps)
+    two_step = {"heun": _teacher_two_heun,
+                "euler": _teacher_two_euler}[teacher_rollout]
 
     def loss_fn(params_s, teacher_pf, enc_params, enc_stats, batch, rng):
         pts = batch["pts"].astype(jnp.float32)
         b, n = pts.shape[:2]
-        k_prior, k_t = jax.random.split(rng)
+        k_prior, k_t, k_drop = jax.random.split(rng, 3)
 
         # x1 / encoder input exactly as the train step builds them
-        if cfg.pf_point_dim == 6:
-            x1 = jnp.concatenate([pts, batch["rgb"].astype(jnp.float32)],
-                                 axis=-1)
-        else:
-            x1 = pts
-        if cfg.enc_in_channels == 6:
-            enc_in = jnp.concatenate([pts, batch["rgb"].astype(jnp.float32)],
-                                     axis=-1)
-        else:
-            enc_in = pts
+        # (rgb may be absent from the batch — the train step substitutes
+        # zeros, pcfm/train/step.py:84-88)
+        rgb = batch.get("rgb")
+        rgb = (rgb.astype(jnp.float32) if rgb is not None
+               else jnp.zeros_like(pts))
+        x1 = (jnp.concatenate([pts, rgb], axis=-1)
+              if cfg.pf_point_dim == 6 else pts)
+        enc_in = (jnp.concatenate([pts, rgb], axis=-1)
+                  if cfg.enc_in_channels == 6 else pts)
         z, _, _ = bundle.apply_enc(enc_params, enc_stats, enc_in,
                                    train=False)
         from pcfm.train.evaluate import _cond_full
         cond_full = _cond_full(cfg, z, batch.get("cond"))
+        if cond_drop_p > 0:
+            keep = (jax.random.uniform(k_drop, (b, 1))
+                    >= cond_drop_p).astype(cond_full.dtype)
+            cond_full = cond_full * keep
 
         x0 = make_pf_prior(k_prior, (b, n, cfg.pf_point_dim),
                            cfg.point_prior_std, cfg.color_prior,
@@ -113,8 +147,7 @@ def make_distill_step(bundle: ModelBundle, tx: optax.GradientTransformation,
         from pcfm.sample.integrators import make_guided
         teacher_vf = make_guided(vf_t, cond_full, guidance_scale)
         dt = 1.0 / n_steps
-        x_pp = jax.lax.stop_gradient(
-            _teacher_two_heun(teacher_vf, x_t, t, dt))
+        x_pp = jax.lax.stop_gradient(two_step(teacher_vf, x_t, t, dt))
         v_star = (x_pp - x_t) / dt
 
         v_s, _ = bundle.apply_pf(params_s, teacher_pf["batch_stats"], x_t,
@@ -144,7 +177,7 @@ def distill_pf(bundle: ModelBundle, state: TrainState,
                steps_per_phase: int = 400, lr: float = 1e-4,
                ema_decay: float = 0.999, rng: Optional[jax.Array] = None,
                use_ema_teacher: bool = True, verbose: bool = True,
-               guidance_scale: float = 0.0):
+               guidance_scale: float = 0.0, cond_drop_p: float = 0.0):
     """Run `phases` halvings starting from the trained point flow.
 
     Args:
@@ -185,7 +218,14 @@ def distill_pf(bundle: ModelBundle, state: TrainState,
             opt_state=tx.init(student), step=jnp.zeros((), jnp.int32))
         dstep = make_distill_step(bundle, tx, steps, ema_decay,
                                   guidance_scale=(guidance_scale
-                                                  if phase == 0 else 0.0))
+                                                  if phase == 0 else 0.0),
+                                  # phase 0 rolls out the trained
+                                  # continuous field (Heun); later phases
+                                  # roll out an Euler-distilled student
+                                  # with its own sampler
+                                  teacher_rollout=("heun" if phase == 0
+                                                   else "euler"),
+                                  cond_drop_p=cond_drop_p)
         it = 0
         m = None
         for batch in batches(phase):

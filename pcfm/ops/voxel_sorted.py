@@ -119,18 +119,26 @@ def inv_counts_per_point(ids_sorted: jax.Array) -> jax.Array:
 
 
 def inv_counts_windowed(ids: jax.Array, r: int, w: int,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False,
+                        grid_reduce=None) -> jax.Array:
     """Per-point inverse voxel occupancy for ROUGHLY-sorted ids: scatter
     ones into an 8-lane grid, gather back.  HIGHEST precision keeps f32
     window tiles so counts stay EXACT integers — under DEFAULT the count
     grid would ride bf16 tiles, which round integers above 256 (review
-    r2); these kernels are tiny, the precision costs nothing."""
+    r2); these kernels are tiny, the precision costs nothing.
+
+    grid_reduce: optional hook applied to the count grid between scatter
+    and gather — the sequence-parallel path passes ``lax.psum`` over the
+    points axis (pcfm/parallel/sp_sorted.py shmap_inv_counts) so counts
+    are GLOBAL while scatter/gather stay shard-local."""
     b, n = ids.shape
     ones8 = jnp.ones((b, n, 8), jnp.float32)
     onesw = jnp.ones((b, 1, n), jnp.float32)
     hi = jax.lax.Precision.HIGHEST
     cnt_grid = scatter_windows(ones8, ids[:, None, :], onesw, ids, r, w,
                                precision=hi, interpret=interpret)
+    if grid_reduce is not None:
+        cnt_grid = grid_reduce(cnt_grid)
     cnt_pt = gather_windows(cnt_grid, ids[:, None, :], onesw, ids, r, w,
                             precision=hi, interpret=interpret)[..., 0]
     return 1.0 / jnp.maximum(cnt_pt, 1.0)

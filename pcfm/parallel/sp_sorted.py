@@ -37,11 +37,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from pcfm.ops.pallas.voxel_sorted import (gather_windows, pick_window,
-                                          scatter_windows)
+from pcfm.ops.pallas.voxel_sorted import pick_window
 from pcfm.ops.voxel import flatten_voxel_ids, normalize_coords
 from pcfm.ops.voxel_sorted import (_avg_vox_sorted, _devox_sorted,
-                                   corner_data, permute_points)
+                                   corner_data, inv_counts_windowed,
+                                   permute_points)
 
 _SPEC_BN = P("data", "points")
 _SPEC_BNC = P("data", "points", None)
@@ -92,17 +92,10 @@ def shmap_inv_counts(mesh: Mesh, ids: jax.Array, r: int,
     tiles f32 so counts stay exact integers (see inv_counts_windowed)."""
 
     def body(il):
-        b, nl = il.shape
-        w = pick_window(r, nl)
-        ones8 = jnp.ones((b, nl, 8), jnp.float32)
-        onesw = jnp.ones((b, 1, nl), jnp.float32)
-        hi = jax.lax.Precision.HIGHEST
-        cnt_grid = scatter_windows(ones8, il[:, None, :], onesw, il, r, w,
-                                   precision=hi, interpret=interpret)
-        cnt_grid = jax.lax.psum(cnt_grid, "points")
-        cnt_pt = gather_windows(cnt_grid, il[:, None, :], onesw, il, r, w,
-                                precision=hi, interpret=interpret)[..., 0]
-        return 1.0 / jnp.maximum(cnt_pt, 1.0)
+        _, nl = il.shape
+        return inv_counts_windowed(
+            il, r, pick_window(r, nl), interpret=interpret,
+            grid_reduce=lambda g: jax.lax.psum(g, "points"))
 
     # check_vma=False: pallas_call inside shard_map can't express the
     # varying-across-mesh annotation yet
