@@ -216,3 +216,76 @@ def test_distill_cli_hybrid_bn_stats(tmp_path):
         meta = json.load(f)
     assert meta["config"]["sampler"] == "euler"
     assert meta["config"]["sample_steps"] == 1
+
+
+def test_teacher_two_euler_exact_on_secant_field():
+    """A phase>=1 teacher is an Euler-distilled student: its field is a
+    SECANT (one Euler step of its grid size reproduces its teacher's
+    jump), not a continuous velocity.  On such a field two Euler
+    sub-steps recover the teacher's own rollout EXACTLY, while Heun
+    sub-steps are biased (review r3 finding; the fix routes phases >= 1
+    through _teacher_two_euler)."""
+    from pcfm.distill.progressive import _teacher_two_euler
+
+    n_teacher = 8                        # teacher grid
+    h = 1.0 / n_teacher
+
+    def traj(t):                         # nonlinear reference trajectory
+        return jnp.sin(3.0 * t)
+
+    def secant_field(x, t):              # what Euler-distillation trains
+        return (traj(t + h) - traj(t)) / h * jnp.ones_like(x)
+
+    x0 = jnp.zeros((2, 4, 3)) + traj(0.25)
+    t = jnp.full((2,), 0.25)
+    dt = 2.0 * h                         # one student step = two teacher steps
+
+    vf = lambda x, tt: secant_field(x, tt[:, None, None])
+    x_euler = _teacher_two_euler(vf, x0, t, dt)
+    x_heun = _teacher_two_heun(vf, x0, t, dt)
+    want = jnp.zeros_like(x0) + traj(0.25 + dt)
+    np.testing.assert_allclose(np.asarray(x_euler), np.asarray(want),
+                               atol=1e-6)
+    # Heun on the secant field misses by O(h * dS): assert the bias the
+    # fix removes is material, not noise
+    assert float(jnp.max(jnp.abs(x_heun - want))) > 1e-3
+
+
+def test_distill_cond_dropout_supervises_unconditional(trained_run):
+    """cond_drop_p=1.0 must make the distill loss invariant to the joint
+    condition values (every row drops to the unconditional branch);
+    cond_drop_p=0.0 must not (regression for the unguided-distill-of-a-
+    guided-run CLI path, which keeps sample-time CFG alive)."""
+    import optax
+
+    from pcfm.sample.cli import load_run
+    cfg, bundle, state, _ = load_run(trained_run)
+    tx = optax.adamw(1e-4)
+    batch = {
+        "pts": jnp.asarray(np.random.RandomState(0)
+                           .randn(4, 32, 3), jnp.float32),
+        "rgb": jnp.asarray(np.random.RandomState(1)
+                           .rand(4, 32, 3), jnp.float32),
+        "cond": jnp.asarray(np.random.RandomState(2)
+                            .randn(4, cfg.cond_dim), jnp.float32)}
+    batch2 = dict(batch, cond=batch["cond"] + 5.0)
+    teacher = {"params": state.ema_pf["params"],
+               "batch_stats": state.ema_pf["batch_stats"]}
+    dstate0 = None
+
+    def loss_at(drop_p, b):
+        from pcfm.distill.progressive import DistillState
+        step = make_distill_step(bundle, tx, phase_steps=2,
+                                 cond_drop_p=drop_p)
+        ds = DistillState(params=state.params["pf"],
+                          ema_params=state.params["pf"],
+                          opt_state=tx.init(state.params["pf"]),
+                          step=jnp.zeros((), jnp.int32))
+        _, m = step(teacher, ds, state.params["enc"],
+                    state.batch_stats["enc"], b, jax.random.PRNGKey(9))
+        return float(m["loss_distill"])
+
+    assert loss_at(1.0, batch) == pytest.approx(loss_at(1.0, batch2),
+                                                rel=1e-6)
+    assert loss_at(0.0, batch) != pytest.approx(loss_at(0.0, batch2),
+                                                rel=1e-3)

@@ -285,3 +285,23 @@ def test_articulated_asset_chain(tmp_path):
     ang = json.loads(
         (model_dirs[0] / "pose_000" / "angles.json").read_text())
     assert len(ang["angles"]) == 1
+
+
+def test_partial_limit_attributes_default_zero(tmp_path):
+    """URDF spec: a <limit> element with a missing lower/upper attribute
+    defaults that bound to 0 (pybullet parses it the same way) — it is
+    NOT an unlimited joint (review r3: NaN parsing sent partially-
+    specified limits through the +-pi fixup)."""
+    (tmp_path / "m.urdf").write_text("""<robot name="x">
+  <link name="a"/><link name="b"/>
+  <joint name="joint_0" type="revolute">
+    <parent link="a"/><child link="b"/>
+    <limit upper="1.57" effort="10"/>
+    <axis xyz="0 0 1"/>
+  </joint></robot>""")
+    p = KinematicsClient()
+    p.connect(p.DIRECT)
+    bid = p.loadURDF(str(tmp_path / "m.urdf"))
+    joints = find_joints(p, bid, ["revolute"], None)
+    assert joints[0]["lower"] == pytest.approx(0.0)
+    assert joints[0]["upper"] == pytest.approx(1.57)
