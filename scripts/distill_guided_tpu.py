@@ -214,6 +214,35 @@ def main():
     }
     print(f"[dguided] distilled euler x{few} g=0: {suite_dist}, endpoint "
           f"CD {ep_cd_dist:.5f} (closure {closure * 100:.0f}%)", flush=True)
+
+    if os.environ.get("ABLATE_HEUN"):
+        # A/B the r3 review fix on the SAME state: re-distill with the
+        # old recipe (Heun sub-steps for EVERY phase teacher, including
+        # the Euler-distilled phase>=1 students whose fields are secants)
+        import pcfm.distill.progressive as prog
+        t0 = time.time()
+        orig = prog._teacher_two_euler
+        prog._teacher_two_euler = prog._teacher_two_heun
+        try:
+            _, pf_ema_h, _ = distill_pf(
+                bundle, state, batches, base_steps=BASE, phases=PHASES,
+                steps_per_phase=DISTILL_STEPS, lr=1e-4,
+                rng=jax.random.PRNGKey(5), guidance_scale=G)
+        finally:
+            prog._teacher_two_euler = orig
+        gen_h, suite_h = run_arm(
+            "distilled-heun-ablation", euler, few, 0.0,
+            pf_override=(pf_ema_h, state.ema_pf["batch_stats"]))
+        ep_cd_h = float(np.mean([
+            float(jnp.mean(chamfer_l2(jnp.asarray(gen_h[i:i + B]),
+                                      jnp.asarray(gen_teacher[i:i + B]))))
+            for i in range(0, TEST, B)]))
+        result["suite_distilled_heun_ablation"] = suite_h
+        result["endpoint_cd_distilled_heun_ablation"] = round(ep_cd_h, 5)
+        print(f"[dguided] ABLATION (old heun-everywhere recipe) euler "
+              f"x{few} g=0: {suite_h}, endpoint CD {ep_cd_h:.5f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
     with open(os.path.join(OUT, "result.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(f"[dguided] {result}", flush=True)
