@@ -221,16 +221,16 @@ class PartNetH5Dataset(_H5ShardDataset):
                 old_n = len(self._index)
                 self._index = [x for x in self._index if x in keep]
                 if verbose:
-                    print(f"[PartNet-H5:{self.split}] exclude_outliers=True "
-                          f"-> kept {len(self._index)}/{old_n}; "
-                          f"outliers={len(self.outliers)} "
-                          f"(canon_dim={self.cond_dim}, "
-                          f"policy={self.cond_dim_policy})")
+                    print(f"[partnet_h5/{self.split}] dropped outlier rows: "
+                          f"{old_n} -> {len(self._index)} kept, "
+                          f"{len(self.outliers)} outliers "
+                          f"(canon_dim {self.cond_dim}, "
+                          f"{self.cond_dim_policy} policy)")
             elif verbose:
-                print(f"[PartNet-H5:{self.split}] canon_dim={self.cond_dim} "
-                      f"(policy={self.cond_dim_policy}); "
-                      f"dim_hist={dict(sorted(dim_hist.items()))}; "
-                      f"outliers={len(self.outliers)}")
+                print(f"[partnet_h5/{self.split}] canonical cond dim "
+                      f"{self.cond_dim} via {self.cond_dim_policy} policy; "
+                      f"per-row dims {dict(sorted(dim_hist.items()))}; "
+                      f"{len(self.outliers)} outliers")
 
         # dataset-level denormalization hints
         self.all_points_mean = np.zeros(3, dtype=np.float32)
@@ -261,10 +261,10 @@ class PartNetH5Dataset(_H5ShardDataset):
                 with open(self.report_file, "w", encoding="utf-8") as f:
                     json.dump(rep, f, ensure_ascii=False, indent=2)
                 if verbose:
-                    print(f"[PartNet-H5:{self.split}] wrote report -> "
+                    print(f"[partnet_h5/{self.split}] outlier report at "
                           f"{self.report_file}")
             except Exception as e:  # pragma: no cover
-                print(f"[WARN] failed to write report: {e}")
+                print(f"[partnet_h5] could not write outlier report: {e}")
 
         self.has_rgb = bool(self._has_rgb)
 
@@ -340,8 +340,8 @@ class TDCRH5Dataset(_H5ShardDataset):
         ], files)
         if not self.files:
             raise FileNotFoundError(
-                f"[TDCR-H5] No shard files found under "
-                f"'{self.data_dir}/{self.split}'. Expect shard-*.h5")
+                f"tdcr_h5: no shard-*.h5 files found in "
+                f"{self.data_dir}/{self.split}")
 
         self._index = []
         self._key_points_map = {}
@@ -437,8 +437,8 @@ def subset_indices(n: int, train_fraction: float = 1.0,
         n_keep = max(1, min(int(np.ceil(n * float(train_fraction))), n))
     rng = np.random.RandomState(int(seed))
     idx = np.sort(rng.permutation(n)[:n_keep])
-    print(f"[datasets] Use subset of training data: {n_keep}/{n} "
-          f"({n_keep / n:.2%}) with seed={seed}")
+    print(f"[data] training subset: keeping {n_keep} of {n} rows "
+          f"({n_keep / n:.2%}, subset seed {seed})")
     return idx.astype(np.int64)
 
 
