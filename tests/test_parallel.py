@@ -33,7 +33,7 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
-@pytest.mark.parametrize("dp,sp", [(8, 1), (2, 4)])
+@pytest.mark.parametrize("dp,sp", [(8, 1), (4, 2), (2, 4), (1, 8)])
 def test_sharded_step_matches_single_device(dp, sp):
     cfg = tiny_cfg(dp=dp, sp=sp)
     bundle, state0, tx = init_state(cfg, jax.random.PRNGKey(0), 100)
