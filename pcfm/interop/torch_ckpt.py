@@ -50,6 +50,15 @@ def _np(v) -> np.ndarray:
     return np.asarray(v)
 
 
+def _unwrap_ddp(sd: Tree) -> Tree:
+    """Strip a uniform 'module.' prefix (a state_dict taken from a live
+    DistributedDataParallel wrapper; the reference trainer unwraps before
+    saving, train.py:687-689, but hand-rolled exports often don't)."""
+    if sd and all(k.startswith("module.") for k in sd):
+        return {k[len("module."):]: v for k, v in sd.items()}
+    return sd
+
+
 def _lin(sd: Tree, p: str) -> Tree:
     """torch nn.Linear -> flax Dense {kernel,bias}."""
     out = {"kernel": _np(sd[f"{p}.weight"]).T}
@@ -286,13 +295,15 @@ def state_from_reference_ckpt(ckpt: Dict[str, Any], cfg: Config):
 
     bundle, state, tx = init_state(cfg, jax.random.PRNGKey(cfg.seed),
                                    total_steps=max(1, cfg.epochs))
-    sd = {k: _np(v) for k, v in ckpt["pf"].items()}
-    pf_p, pf_s = pf_from_sd(sd, cfg.pf_backbone)
+
+    def host_sd(d):
+        return _unwrap_ddp({k: _np(v) for k, v in d.items()})
+
+    pf_p, pf_s = pf_from_sd(host_sd(ckpt["pf"]), cfg.pf_backbone)
     params = dict(state.params)
-    params["enc"] = shape_encoder_from_sd(
-        {k: _np(v) for k, v in ckpt["encoder"].items()})
-    params["pf"], params["lf"] = pf_p, latent_net_from_sd(
-        {k: _np(v) for k, v in ckpt["lf"].items()})
+    params["enc"] = shape_encoder_from_sd(host_sd(ckpt["encoder"]))
+    params["pf"] = pf_p
+    params["lf"] = latent_net_from_sd(host_sd(ckpt["lf"]))
 
     batch_stats = dict(state.batch_stats) if state.batch_stats else {}
     if pf_s:
@@ -302,17 +313,15 @@ def state_from_reference_ckpt(ckpt: Dict[str, Any], cfg: Config):
     # util.py:11-24 registers every float entry, incl. BN running stats).
     ema_pf, ema_lf = state.ema_pf, state.ema_lf
     if ckpt.get("ema_pf"):
-        e_sd = {k: _np(v) for k, v in ckpt["ema_pf"].items()}
-        e_p, e_s = pf_from_sd(e_sd, cfg.pf_backbone)
+        e_p, e_s = pf_from_sd(host_sd(ckpt["ema_pf"]), cfg.pf_backbone)
         ema_pf = {"params": e_p, "batch_stats": e_s or
                   state.ema_pf.get("batch_stats", {})}
     else:
         ema_pf = {"params": pf_p, "batch_stats": pf_s or
                   state.ema_pf.get("batch_stats", {})}
     if ckpt.get("ema_lf"):
-        ema_lf = {"params": latent_net_from_sd(
-            {k: _np(v) for k, v in ckpt["ema_lf"].items()}),
-            "batch_stats": state.ema_lf.get("batch_stats", {})}
+        ema_lf = {"params": latent_net_from_sd(host_sd(ckpt["ema_lf"])),
+                  "batch_stats": state.ema_lf.get("batch_stats", {})}
     else:
         ema_lf = {"params": params["lf"],
                   "batch_stats": state.ema_lf.get("batch_stats", {})}

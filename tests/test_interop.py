@@ -264,3 +264,17 @@ def test_import_shape_mismatch_raises():
     cfg = interop.config_from_reference_args(bad, cond_dim=args["cond_dim"])
     with pytest.raises(ValueError, match="shape|tree mismatch"):
         interop.state_from_reference_ckpt(ckpt, cfg)
+
+
+def test_import_ddp_prefixed_state_dicts():
+    """state_dicts exported from a live DDP wrapper carry a uniform
+    'module.' prefix — the importer must strip it."""
+    args = _mlp_args()
+    ckpt, _, pf_t, _ = _make_mlp_ckpt(args, seed=3)
+    for key in ("encoder", "pf", "lf", "ema_pf", "ema_lf"):
+        ckpt[key] = {f"module.{k}": v for k, v in ckpt[key].items()}
+    cfg = interop.config_from_reference_args(args, cond_dim=args["cond_dim"])
+    _, state, _ = interop.state_from_reference_ckpt(ckpt, cfg)
+    want = pf_t.state_dict()["input.weight"].numpy().T
+    np.testing.assert_allclose(
+        np.asarray(state.params["pf"]["input"]["kernel"]), want, atol=0)
