@@ -65,12 +65,20 @@ def _teacher_two_heun(vf: Callable, x, t, dt):
 def _teacher_two_euler(vf: Callable, x, t, dt):
     """Two EULER sub-steps of size dt/2 from (x, t) -> x''.
 
-    Right for phase >= 1 teachers: a previous-phase student was trained so
-    that one Euler step of its own grid size (= dt/2 here) reproduces ITS
-    teacher's jump — its field is a secant, not a continuous velocity.
-    Heun-averaging a secant field lands somewhere its sampler never goes
-    and biases the target (Salimans & Ho distill the teacher's own
-    2-step sampler, not a re-integration of it)."""
+    The Salimans-Ho-faithful rollout for phase >= 1 teachers: a
+    previous-phase student was trained so one Euler step of its own grid
+    size (= dt/2 here) reproduces ITS teacher's jump — a secant field,
+    which this advances with its own sampler (exactness pinned by
+    tests/test_distill.py test_teacher_two_euler_exact_on_secant_field).
+
+    MEASURED WORSE end-to-end than Heun re-integration (hardware A/B,
+    docs/genq/distill_guided6_run5_ab.json: 6-NFE guided student 1-NNA
+    1.0 vs 0.865, endpoint CD 0.00209 vs 0.00113): a 600-step phase
+    leaves the student closer to a continuous field than to a converged
+    secant, and Euler rollout COMPOUNDS its residual bias across phases,
+    while Heun's second evaluation cancels it toward the true ODE.
+    Kept as the ``teacher_rollout="euler"`` option; the default is
+    "heun"."""
     h = dt / 2.0
     x1 = x + h * vf(x, t)
     return x1 + h * vf(x1, t + h)
@@ -95,9 +103,9 @@ def make_distill_step(bundle: ModelBundle, tx: optax.GradientTransformation,
     guidance is baked into the student's weights, so few-step sampling
     runs at guidance 0 (ONE forward per eval instead of the CFG 2B batch).
 
-    teacher_rollout: "heun" (phase-0 continuous-field teacher) or "euler"
-    (phase >= 1: the teacher is itself an Euler-distilled student and must
-    be advanced by its OWN sampler — see _teacher_two_euler).
+    teacher_rollout: "heun" (default — best measured end-to-end for every
+    phase) or "euler" (Salimans-Ho-faithful secant rollout for phase >= 1
+    teachers; measured worse — see _teacher_two_euler).
 
     cond_drop_p > 0 zeroes the condition on a Bernoulli row subset (the
     teacher rollout AND the student see the same zeroed cond), keeping the
@@ -177,7 +185,8 @@ def distill_pf(bundle: ModelBundle, state: TrainState,
                steps_per_phase: int = 400, lr: float = 1e-4,
                ema_decay: float = 0.999, rng: Optional[jax.Array] = None,
                use_ema_teacher: bool = True, verbose: bool = True,
-               guidance_scale: float = 0.0, cond_drop_p: float = 0.0):
+               guidance_scale: float = 0.0, cond_drop_p: float = 0.0,
+               teacher_rollout: str = "heun"):
     """Run `phases` halvings starting from the trained point flow.
 
     Args:
@@ -189,6 +198,9 @@ def distill_pf(bundle: ModelBundle, state: TrainState,
         field (see make_distill_step) — later phases distill the phase-0
         student, which already has the guidance baked in, so they run
         unguided (applying CFG again would compound the scale).
+      teacher_rollout: two-sub-step integrator for phase >= 1 teachers —
+        "heun" (default, measured best) or "euler" (see
+        _teacher_two_euler for the measured A/B).
     Returns (pf_params, pf_ema_params, final_steps): the distilled student
     (drop-in replacements for state.params['pf'] / ema_pf['params']) and
     its Euler step count base_steps // 2^phases.  Sample the student with
@@ -219,12 +231,13 @@ def distill_pf(bundle: ModelBundle, state: TrainState,
         dstep = make_distill_step(bundle, tx, steps, ema_decay,
                                   guidance_scale=(guidance_scale
                                                   if phase == 0 else 0.0),
-                                  # phase 0 rolls out the trained
-                                  # continuous field (Heun); later phases
-                                  # roll out an Euler-distilled student
-                                  # with its own sampler
+                                  # phase 0 is always the trained
+                                  # continuous field -> Heun; later
+                                  # phases default to Heun too (measured
+                                  # better than the secant-faithful
+                                  # Euler rollout — _teacher_two_euler)
                                   teacher_rollout=("heun" if phase == 0
-                                                   else "euler"),
+                                                   else teacher_rollout),
                                   cond_drop_p=cond_drop_p)
         it = 0
         m = None

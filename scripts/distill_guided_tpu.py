@@ -215,32 +215,30 @@ def main():
     print(f"[dguided] distilled euler x{few} g=0: {suite_dist}, endpoint "
           f"CD {ep_cd_dist:.5f} (closure {closure * 100:.0f}%)", flush=True)
 
-    if os.environ.get("ABLATE_HEUN"):
-        # A/B the r3 review fix on the SAME state: re-distill with the
-        # old recipe (Heun sub-steps for EVERY phase teacher, including
-        # the Euler-distilled phase>=1 students whose fields are secants)
-        import pcfm.distill.progressive as prog
+    if os.environ.get("ABLATE_ROLLOUT"):
+        # A/B the phase>=1 teacher rollout on the SAME state: re-distill
+        # with the Salimans-Ho-faithful Euler (secant) rollout.  Measured
+        # on the run-5 state (docs/genq/distill_guided6_run5_ab.json):
+        # euler compounds the partially-distilled students' bias and
+        # LOSES to the default Heun re-integration — 6-NFE 1-NNA 1.0 vs
+        # 0.865, endpoint CD 0.00209 vs 0.00113.
         t0 = time.time()
-        orig = prog._teacher_two_euler
-        prog._teacher_two_euler = prog._teacher_two_heun
-        try:
-            _, pf_ema_h, _ = distill_pf(
-                bundle, state, batches, base_steps=BASE, phases=PHASES,
-                steps_per_phase=DISTILL_STEPS, lr=1e-4,
-                rng=jax.random.PRNGKey(5), guidance_scale=G)
-        finally:
-            prog._teacher_two_euler = orig
-        gen_h, suite_h = run_arm(
-            "distilled-heun-ablation", euler, few, 0.0,
-            pf_override=(pf_ema_h, state.ema_pf["batch_stats"]))
-        ep_cd_h = float(np.mean([
-            float(jnp.mean(chamfer_l2(jnp.asarray(gen_h[i:i + B]),
+        _, pf_ema_e, _ = distill_pf(
+            bundle, state, batches, base_steps=BASE, phases=PHASES,
+            steps_per_phase=DISTILL_STEPS, lr=1e-4,
+            rng=jax.random.PRNGKey(5), guidance_scale=G,
+            teacher_rollout="euler")
+        gen_e, suite_e = run_arm(
+            "distilled-euler-ablation", euler, few, 0.0,
+            pf_override=(pf_ema_e, state.ema_pf["batch_stats"]))
+        ep_cd_e = float(np.mean([
+            float(jnp.mean(chamfer_l2(jnp.asarray(gen_e[i:i + B]),
                                       jnp.asarray(gen_teacher[i:i + B]))))
             for i in range(0, TEST, B)]))
-        result["suite_distilled_heun_ablation"] = suite_h
-        result["endpoint_cd_distilled_heun_ablation"] = round(ep_cd_h, 5)
-        print(f"[dguided] ABLATION (old heun-everywhere recipe) euler "
-              f"x{few} g=0: {suite_h}, endpoint CD {ep_cd_h:.5f} "
+        result["suite_distilled_euler_ablation"] = suite_e
+        result["endpoint_cd_distilled_euler_ablation"] = round(ep_cd_e, 5)
+        print(f"[dguided] ABLATION (euler secant-rollout recipe) euler "
+              f"x{few} g=0: {suite_e}, endpoint CD {ep_cd_e:.5f} "
               f"({time.time() - t0:.0f}s)", flush=True)
 
     with open(os.path.join(OUT, "result.json"), "w") as f:

@@ -219,12 +219,14 @@ def test_distill_cli_hybrid_bn_stats(tmp_path):
 
 
 def test_teacher_two_euler_exact_on_secant_field():
-    """A phase>=1 teacher is an Euler-distilled student: its field is a
-    SECANT (one Euler step of its grid size reproduces its teacher's
-    jump), not a continuous velocity.  On such a field two Euler
-    sub-steps recover the teacher's own rollout EXACTLY, while Heun
-    sub-steps are biased (review r3 finding; the fix routes phases >= 1
-    through _teacher_two_euler)."""
+    """A CONVERGED phase>=1 teacher is a secant field (one Euler step of
+    its grid size reproduces its teacher's jump): two Euler sub-steps
+    recover its own rollout EXACTLY, while Heun sub-steps are biased on
+    it.  This pins _teacher_two_euler's math (the teacher_rollout="euler"
+    option).  NOTE the end-to-end A/B measured the OPPOSITE preference on
+    real, partially-distilled students — Heun re-integration wins and is
+    the default (see _teacher_two_euler docstring,
+    docs/genq/distill_guided6_run5_ab.json)."""
     from pcfm.distill.progressive import _teacher_two_euler
 
     n_teacher = 8                        # teacher grid
