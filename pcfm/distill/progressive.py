@@ -35,7 +35,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from pcfm.config import Config
 from pcfm.sample.priors import make_pf_prior
 from pcfm.train.state import ModelBundle, TrainState, ema_update
 
