@@ -124,6 +124,8 @@ class Config:
     use_bf16: bool = True
     voxel_backend: str = "auto"           # auto|xla|sorted (pvconv path)
     fused_trunk: str = "auto"             # auto|on|off (pallas film_block)
+    pf_film_every: int = 1                # opt-in turbo trunk: FiLM every
+                                          # k-th block (1 = reference parity)
     ctx_dtype: str = "bf16"               # bf16|fp32 ContextNet island (PARITY.md)
     # ========== TPU parallelism ==========
     dp: int = -1                          # data-parallel size (-1: all devices)

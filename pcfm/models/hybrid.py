@@ -45,6 +45,7 @@ class HybridMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
     voxel_backend: str = "xla"
     fused_trunk: str = "auto"         # auto|on|off (pallas film_block)
+    film_every: int = 1               # opt-in turbo head trunk
     ctx_island_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -75,6 +76,7 @@ class HybridMLP(nn.Module):
             cond_dim=self.cond_dim, point_dim=self.point_dim,
             ctx_dim=self.ctx_dim, width=self.pf_width, depth=self.pf_depth,
             emb_dim=self.pf_emb_dim, cfg_dropout_p=self.cfg_dropout_p,
-            dtype=self.dtype, fused_trunk=self.fused_trunk, name="head",
+            dtype=self.dtype, fused_trunk=self.fused_trunk,
+            film_every=self.film_every, name="head",
         )(x, t, cond, ctx, cond_drop_mask=cond_drop_mask)
         return v

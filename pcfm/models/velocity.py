@@ -69,24 +69,41 @@ class _DenseParams(nn.Module):
         return k, b
 
 
-def _trunk(mdl, h, emb, width, depth, dtype, fused: bool):
+def _trunk(mdl, h, emb, width, depth, dtype, fused: bool,
+           film_every: int = 1):
     """The shared residual trunk: depth-1 x [FiLM -> h + Dense(silu(h))].
 
     ``fused=True`` routes each block through the single-pass Pallas kernel
     (pcfm/ops/pallas/film_block.py) with an IDENTICAL parameter tree, so
     checkpoints and torch transplants are interchangeable between paths.
+
+    ``film_every=k`` (opt-in turbo, Config ``pf_film_every``) applies the
+    FiLM (LayerNorm + emb modulation) only on every k-th block — the
+    trunk is VPU/HBM joint-bound (ROADMAP #2: the LN/FiLM/silu
+    elementwise chain over B*N rows costs as much as the GEMMs), so
+    halving the FiLM passes trades a little conditioning granularity for
+    step time.  k=1 is the reference-parity architecture; the residual
+    Dense stack is unchanged either way.
     """
     if fused:
         from pcfm.ops.pallas.film_block import film_block
         interp = jax.default_backend() != "tpu"
         for i in range(depth - 1):
-            s, t, gamma, beta = _FiLMShell(width, dtype=dtype,
-                                           name=f"film_{i}")(emb)
-            w, b = _DenseParams(width, width, name=f"block_{i}")()
-            h = film_block(h, s, t, gamma, beta, w, b, interp)
+            if i % film_every == 0:
+                s, t, gamma, beta = _FiLMShell(width, dtype=dtype,
+                                               name=f"film_{i}")(emb)
+                w, b = _DenseParams(width, width, name=f"block_{i}")()
+                h = film_block(h, s, t, gamma, beta, w, b, interp)
+            else:
+                blk = nn.Dense(width, dtype=dtype,
+                               kernel_init=kaiming_normal,
+                               bias_init=nn.initializers.zeros,
+                               name=f"block_{i}")
+                h = h + blk(nn.silu(h))
         return h
     for i in range(depth - 1):
-        h = FiLMBlock(width, dtype=dtype, name=f"film_{i}")(h, emb)
+        if i % film_every == 0:
+            h = FiLMBlock(width, dtype=dtype, name=f"film_{i}")(h, emb)
         blk = nn.Dense(width, dtype=dtype, kernel_init=kaiming_normal,
                        bias_init=nn.initializers.zeros, name=f"block_{i}")
         h = h + blk(nn.silu(h))
@@ -158,6 +175,7 @@ class VelocityNet(nn.Module):
     point_dim: int = 3
     dtype: jnp.dtype = jnp.float32
     fused_trunk: str = "auto"         # auto|on|off (pallas film_block)
+    film_every: int = 1               # opt-in turbo trunk (see _trunk)
 
     @nn.compact
     def __call__(self, x, t, cond: Optional[jax.Array],
@@ -175,7 +193,8 @@ class VelocityNet(nn.Module):
         h = nn.Dense(self.width, dtype=self.dtype, kernel_init=kaiming_normal,
                      bias_init=nn.initializers.zeros, name="input")(h)
         h = _trunk(self, h, emb, self.width, self.depth, self.dtype,
-                   _use_fused_trunk(self.fused_trunk, self.width))
+                   _use_fused_trunk(self.fused_trunk, self.width),
+                   film_every=self.film_every)
         v = nn.Dense(self.point_dim, dtype=self.dtype,
                      kernel_init=kaiming_normal,
                      bias_init=nn.initializers.zeros,
@@ -194,6 +213,7 @@ class VelocityNetWithContext(nn.Module):
     cfg_dropout_p: float = 0.1
     dtype: jnp.dtype = jnp.float32
     fused_trunk: str = "auto"         # auto|on|off (pallas film_block)
+    film_every: int = 1               # opt-in turbo trunk (see _trunk)
 
     @nn.compact
     def __call__(self, x, t, cond: Optional[jax.Array], ctx,
@@ -212,7 +232,8 @@ class VelocityNetWithContext(nn.Module):
         h = nn.Dense(self.width, dtype=self.dtype, kernel_init=kaiming_normal,
                      bias_init=nn.initializers.zeros, name="input")(h)
         h = _trunk(self, h, emb, self.width, self.depth, self.dtype,
-                   _use_fused_trunk(self.fused_trunk, self.width))
+                   _use_fused_trunk(self.fused_trunk, self.width),
+                   film_every=self.film_every)
         v = nn.Dense(self.point_dim, dtype=self.dtype,
                      kernel_init=kaiming_normal,
                      bias_init=nn.initializers.zeros,

@@ -131,6 +131,8 @@ def build_parser() -> argparse.ArgumentParser:
          choices=["auto", "xla", "sorted"])
     flag("--fused_trunk", type=str, default=d.fused_trunk,
          choices=["auto", "on", "off"])
+    flag("--pf_film_every", type=int, default=d.pf_film_every,
+         help="opt-in turbo trunk: FiLM every k-th block (1 = parity)")
     flag("--ctx_dtype", type=str, default=d.ctx_dtype,
          choices=["bf16", "fp32"])
     flag("--dp", type=int, default=d.dp)

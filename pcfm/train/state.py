@@ -54,7 +54,8 @@ class ModelBundle:
                                   depth=cfg.pf_depth, emb_dim=cfg.pf_emb_dim,
                                   cfg_dropout_p=cfg.cfg_drop_p,
                                   point_dim=cfg.pf_point_dim, dtype=dtype,
-                                  fused_trunk=cfg.fused_trunk)
+                                  fused_trunk=cfg.fused_trunk,
+                                  film_every=cfg.pf_film_every)
             self.pf_has_bn = False
         elif cfg.pf_backbone == "hybrid":
             self.pf = HybridMLP(
@@ -74,6 +75,7 @@ class ModelBundle:
                 dtype=dtype, voxel_backend=resolve_voxel_backend(
                     cfg.voxel_backend),
                 fused_trunk=cfg.fused_trunk,
+                film_every=cfg.pf_film_every,
                 ctx_island_dtype=(jnp.bfloat16 if cfg.ctx_dtype == "bf16"
                                   else jnp.float32))
             self.pf_has_bn = True

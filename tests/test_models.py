@@ -156,3 +156,38 @@ def test_velocity_bf16_compute(key):
     # params stay fp32 masters
     leaf = jax.tree_util.tree_leaves(params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_film_every_turbo_trunk():
+    """Opt-in turbo trunk (Config pf_film_every): FiLM only on every k-th
+    block — param tree drops the skipped film_i, forward runs, and k=1
+    reproduces the reference-parity tree."""
+    import numpy as np
+
+    from pcfm.config import Config
+    from pcfm.train.state import init_state
+    from pcfm.train.step import make_train_step
+
+    kw = dict(latent_dim=8, enc_width=8, enc_depth=4, pf_width=32,
+              pf_depth=5, pf_emb_dim=8, lf_width=16, lf_depth=3,
+              lf_emb_dim=8, amp=False, cond_dim=1, batch_size=2,
+              tr_max_sample_points=16, warmup_steps=0)
+    cfg = Config(pf_backbone="mlp", pf_film_every=2, **kw)
+    bundle, state, tx = init_state(cfg, jax.random.PRNGKey(0), 10)
+    films = sorted(k for k in state.params["pf"] if k.startswith("film"))
+    assert films == ["film_0", "film_2"]
+    blocks = sorted(k for k in state.params["pf"] if k.startswith("block"))
+    assert blocks == [f"block_{i}" for i in range(4)]   # Dense stack intact
+
+    step = make_train_step(bundle, tx, donate=False)
+    batch = {"pts": jnp.asarray(np.random.RandomState(0)
+                                .randn(2, 16, 3), jnp.float32),
+             "cond": jnp.ones((2, 1), jnp.float32)}
+    state, m = step(state, batch, jax.random.PRNGKey(1), jnp.float32(0.0),
+                    jnp.float32(0.0))
+    assert np.isfinite(float(m["loss"]))
+
+    cfg1 = Config(pf_backbone="mlp", pf_film_every=1, **kw)
+    _, state1, _ = init_state(cfg1, jax.random.PRNGKey(0), 10)
+    films1 = sorted(k for k in state1.params["pf"] if k.startswith("film"))
+    assert films1 == [f"film_{i}" for i in range(4)]
