@@ -63,7 +63,8 @@ def main():
                  amp=True, use_bf16=True, tr_max_sample_points=N,
                  batch_size=B, epochs=EPOCHS, warmup_steps=200,
                  geom_warmup_epochs=5, cfg_drop_warmup_epochs=10,
-                 sampler="heun", sample_steps=25, seed=7)
+                 sampler="heun", sample_steps=25, seed=7,
+                 pf_film_every=int(os.environ.get("FILM_EVERY", 1)))
     rng = jax.random.PRNGKey(cfg.seed)
     bundle, state, tx = init_state(cfg, rng,
                                    total_steps=EPOCHS * steps_per_epoch)
