@@ -122,6 +122,20 @@ def main():
           + (f", step HBM {hbm / 2**30:.2f} GiB" if hbm else ""),
           file=sys.stderr)
 
+    try:  # opt-in turbo trunk (--pf_film_every 2): same Dense stack,
+        # FiLM every 2nd block; quality-validated at demo + full-20k
+        # scale (ROADMAP #19, docs/filmevery_ab.json)
+        t_time, t_fl, _ = bench_step(cfg.replace(pf_film_every=2), b, n,
+                                     iters=30)
+        out["mlp_turbo_step_ms"] = round(t_time * 1e3, 2)
+        out["mlp_turbo_mfu"] = round(t_fl / t_time / V5E_BF16_PEAK, 4)
+        print(f"[bench] mlp turbo (--pf_film_every 2): "
+              f"{t_time*1e3:.2f} ms/step "
+              f"({t_time*STEPS_PER_EPOCH:.2f} s/epoch), "
+              f"MFU {out['mlp_turbo_mfu']*100:.1f}%", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] mlp turbo bench failed: {e}", file=sys.stderr)
+
     try:
         hcfg = Config(pf_backbone="hybrid", **base)
         h_time, h_fl, h_hbm = bench_step(hcfg, b, n, iters=20)
