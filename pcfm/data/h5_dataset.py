@@ -55,10 +55,15 @@ def _discover(data_dir: str, split: str, patterns: Sequence[str],
         if isinstance(files, str):
             return sorted(set(glob.glob(files)))
         raise TypeError("files must be None, list/tuple, or a glob string")
-    flist = []
+    # first NON-EMPTY pattern wins: the later patterns are broader
+    # fallbacks (e.g. a flat data_dir/*.h5), and unioning them would let
+    # the train and test splits silently share files (review —
+    # train/test contamination with flat layouts or stray top-level .h5)
     for p in patterns:
-        flist.extend(glob.glob(p))
-    return sorted(set(flist))
+        flist = glob.glob(p)
+        if flist:
+            return sorted(set(flist))
+    return []
 
 
 class _H5ShardDataset:
@@ -125,7 +130,8 @@ class PartNetH5Dataset(_H5ShardDataset):
                  keep_annos: Optional[Set[str]] = None,
                  cond_dim_policy: str = "mode",
                  exclude_outliers: bool = False, report_file: str = "",
-                 report_topk: int = 200, files=None, verbose: bool = True):
+                 report_topk: int = 200, files=None, verbose: bool = True,
+                 cond_dim_override: Optional[int] = None):
         super().__init__()
         import h5py
         self.split = str(split)
@@ -205,7 +211,11 @@ class PartNetH5Dataset(_H5ShardDataset):
                 canon = max(eff_dims)
         else:
             canon = 0
-        self.cond_dim = int(canon)
+        # a val/test split pads motors to the TRAIN split's canonical dim
+        # (cond_dim_override) — its own mode can differ, and the model's
+        # cond input width is fixed by the train scan (review)
+        self.cond_dim = int(canon if cond_dim_override is None
+                            else cond_dim_override)
 
         self.outliers = []
         if self._has_motors and eff_dims:
@@ -453,10 +463,18 @@ def _parse_keep_annos(cfg) -> tuple:
     return (keep or None), splits
 
 
-def get_datasets(cfg):
+def get_datasets(cfg, eval_only: bool = False):
     """Factory (port of datasets.py:634-716): builds (train, val-or-test)
     datasets, applies the train subset, and writes ``cond_dim`` /
-    ``has_rgb`` back onto cfg like the reference writes onto args."""
+    ``has_rgb`` back onto cfg like the reference writes onto args.
+
+    ``eval_only=True`` (the eval/sample CLIs on a restored run): skips the
+    expensive train-split scan, pads the test split's condition to the
+    RUN's recorded ``cfg.cond_dim``, and VERIFIES the data against the
+    checkpoint's recorded dims instead of mutating cfg — the model's
+    input widths are already fixed by the restored params (review: the
+    post-restore cfg mutation could silently change the lazy
+    enc_in_channels/pf_cond_dim properties under the built bundle)."""
     from pathlib import Path
     ds_type = cfg.dataset_type.lower()
     keep_ids, keep_splits = _parse_keep_annos(cfg)
@@ -476,7 +494,7 @@ def get_datasets(cfg):
                  else "test")
         te = TDCRH5Dataset(cfg.data_dir, split=split, **common)
     elif ds_type == "partnet_h5":
-        tr = PartNetH5Dataset(
+        tr = None if eval_only else PartNetH5Dataset(
             cfg.data_dir, split="train", use_norm=cfg.tdcr_use_norm,
             tr_sample_size=cfg.tr_max_sample_points,
             te_sample_size=cfg.te_max_sample_points,
@@ -494,7 +512,9 @@ def get_datasets(cfg):
             keep_annos=(keep_ids if split in keep_splits else None),
             cond_dim_policy=cfg.partnet_cond_policy,
             exclude_outliers=False,
-            report_file=cfg.partnet_report_file_eval)
+            report_file=cfg.partnet_report_file_eval,
+            cond_dim_override=(cfg.cond_dim if eval_only
+                               else tr.cond_dim))
     elif ds_type == "synthetic":
         from pcfm.data.synthetic import SyntheticDataset
         tr = SyntheticDataset(split="train",
@@ -505,6 +525,14 @@ def get_datasets(cfg):
                               te_sample_size=cfg.te_max_sample_points)
     else:
         raise ValueError(f"Unknown dataset_type: {ds_type}")
+
+    if eval_only:
+        if bool(cfg.has_rgb) and not bool(getattr(te, "has_rgb", False)):
+            raise ValueError(
+                "eval data has no RGB but the restored run was trained "
+                f"with has_rgb=True ({cfg.data_dir}) — the checkpoint's "
+                "6-channel inputs cannot be built from this dataset")
+        return None, te
 
     sel = subset_indices(len(tr), cfg.train_fraction, cfg.train_count,
                          cfg.train_subset_seed if cfg.train_subset_seed

@@ -30,7 +30,16 @@ _COLLATE_KEYS = ("train_points", "test_points", "train_rgb", "test_rgb",
 def collate(items) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     for k in _COLLATE_KEYS:
-        if k in items[0]:
+        present = sum(1 for it in items if k in it)
+        if present and present != len(items):
+            # shards disagreeing on optional fields would otherwise
+            # either KeyError mid-stack or silently drop the field for
+            # the whole batch depending on items[0] (review)
+            raise ValueError(
+                f"collate: key '{k}' present in only {present}/"
+                f"{len(items)} batch items — shards disagree on optional "
+                "fields (rgb/motors); re-pack the dataset uniformly")
+        if present:
             out[k] = np.stack([it[k] for it in items], axis=0)
     out["idx"] = np.asarray([it["idx"] for it in items], np.int64)
     if "anno_id" in items[0]:
@@ -57,7 +66,12 @@ class DataLoader:
         self.prefetch = max(1, int(prefetch))
 
     def __len__(self):
-        n = len(self.ds) // self.world_size
+        # ceil-shard like _epoch_indices (DistributedSampler pads every
+        # rank to the same length) so len(loader) == batches actually
+        # yielded — loop.py derives total_steps for the cosine schedule
+        # from this (review: floor-sharding understated it on ragged
+        # world sizes, letting cosine_lr run past t=1)
+        n = -(-len(self.ds) // self.world_size)
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -97,17 +111,34 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """Enqueue, re-checking stop so an abandoned generator never
+            leaves the producer parked on a full queue (thread/executor
+            leak — review)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-                for b in range(nb):
-                    if stop.is_set():
-                        return
-                    chunk = order[b * self.batch_size:
-                                  (b + 1) * self.batch_size]
-                    items = list(ex.map(
-                        lambda i: self._load_one(epoch, i), chunk))
-                    q.put(collate(items))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                    for b in range(nb):
+                        if stop.is_set():
+                            return
+                        chunk = order[b * self.batch_size:
+                                      (b + 1) * self.batch_size]
+                        items = list(ex.map(
+                            lambda i: self._load_one(epoch, i), chunk))
+                        if not _put(collate(items)):
+                            return
+            except BaseException as e:      # forward to the consumer —
+                _put(e)                     # otherwise a data error is a
+                return                      # silent permanent q.get() hang
+            _put(None)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
@@ -116,9 +147,17 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()
+            # drain so a producer blocked in _put wakes and exits
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def get_data_loaders(cfg, tr_dataset=None, te_dataset=None,

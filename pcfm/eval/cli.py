@@ -53,7 +53,12 @@ def main(argv: Optional[Sequence[str]] = None):
             ("data_dir", "batch_size", "sample_steps", "sampler",
              "guidance_scale")}
     cfg, bundle, state, ep = load_run(args.out_dir, over)
-    _, te_ds = get_datasets(cfg)
+    # eval_only: keep the restored run's recorded cond_dim/has_rgb
+    # authoritative (the model's input widths are fixed by the restored
+    # params), skip the train-split scan, and pad the test condition to
+    # the run's dim — get_datasets verifies data compatibility instead
+    # of mutating cfg under the built bundle
+    _, te_ds = get_datasets(cfg, eval_only=True)
     # drop_last=False: the tail batch is padded to the jit batch size and the
     # padded rows' metrics sliced off, so EVERY test cloud is evaluated.
     loader = DataLoader(te_ds, cfg.batch_size, shuffle=False, drop_last=False,

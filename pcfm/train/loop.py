@@ -191,7 +191,8 @@ def train(cfg: Config, verbose: bool = True) -> dict:
         if verbose and rank == 0:
             print(f"Ep{ep}: lp={last_metrics['loss_point']:.4f} "
                   f"lz={last_metrics['loss_latent']:.4f} "
-                  f"({dt:.1f}s, {pps/1e6:.2f}M pts/s)")
+                  f"(ema {lp_ema.value:.4f}/{lz_ema.value:.4f}, "
+                  f"{dt:.1f}s, {pps/1e6:.2f}M pts/s)")
 
         if (ep % cfg.save_every) == 0 or ep == cfg.epochs:
             if rank == 0:
@@ -218,6 +219,17 @@ def train(cfg: Config, verbose: bool = True) -> dict:
 def run_validation(cfg, bundle, state, recon_fn, sample_fn, val_batch, ep,
                    rng, rank, verbose=True):
     """save_val_recon + save_val_samples (train.py:283-429)."""
+    if jax.process_count() > 1:
+        # each process holds a DIFFERENT host-local val batch, but state
+        # is sharded over the GLOBAL mesh — feeding per-rank arrays into
+        # the jitted recon/sample fns is ill-defined across hosts, and
+        # gathering the sharded outputs for PLY dumps needs a fully-
+        # addressable array (review).  Offline eval (pcfm.eval.cli) is
+        # the multi-host-safe path.
+        if rank == 0 and verbose:
+            print(f"[Val ep{ep:04d}] skipped in-loop validation on a "
+                  "multi-host run; use the eval CLI offline")
+        return None, None
     pts = jnp.asarray(val_batch["test_points"], jnp.float32)
     rgb = val_batch.get("test_rgb")
     rgb = jnp.asarray(rgb, jnp.float32) if rgb is not None else None

@@ -138,7 +138,10 @@ def cosine_lr(step, total: int, base_lr: float, min_lr: float = 1e-6,
     """Warmup + cosine schedule (port of util.py:113-117), traced-friendly."""
     step = jnp.asarray(step, jnp.float32)
     warm = min_lr + (base_lr - min_lr) * step / max(1, warmup)
-    t = (step - warmup) / max(1, total - warmup)
+    # clamp: past total_steps the cosine would swing back UP toward
+    # base_lr (review — reachable when len(loader) underestimates the
+    # actual steps per epoch); hold min_lr instead
+    t = jnp.clip((step - warmup) / max(1, total - warmup), 0.0, 1.0)
     cos = min_lr + 0.5 * (base_lr - min_lr) * (1 + jnp.cos(jnp.pi * t))
     return jnp.where(step < warmup, warm, cos)
 

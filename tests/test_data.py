@@ -224,3 +224,123 @@ def test_tdcr_raw9_three_segment(tmp_path):
     assert ds.cond_dim == 25
     item = ds.get(0, np.random.RandomState(0))
     assert item["cond"].shape == (25,)
+
+
+# ---------------- review-fix regressions (late r3) ----------------
+
+class _FailingDS:
+    def __init__(self, n=8, fail_at=5):
+        self.n, self.fail_at = n, fail_at
+
+    def __len__(self):
+        return self.n
+
+    def get(self, idx, rng):
+        if idx == self.fail_at:
+            raise RuntimeError("corrupt row")
+        return {"idx": idx, "train_points": np.zeros((4, 3), np.float32),
+                "test_points": np.zeros((4, 3), np.float32)}
+
+
+def test_loader_forwards_worker_exception():
+    """A data error inside the producer thread must surface as an
+    exception in the consumer, not a permanent q.get() hang (review)."""
+    loader = DataLoader(_FailingDS(), batch_size=2, shuffle=False,
+                        num_workers=2, prefetch=1)
+    with pytest.raises(RuntimeError, match="corrupt row"):
+        for _ in loader.epoch_batches(0):
+            pass
+
+
+def test_loader_abandoned_generator_unblocks_producer():
+    """Dropping the generator early must not leave the producer thread
+    parked on a full queue (thread/executor leak — review)."""
+    import threading
+
+    before = threading.active_count()
+    loader = DataLoader(_FailingDS(n=64, fail_at=10 ** 9), batch_size=2,
+                        shuffle=False, num_workers=2, prefetch=1)
+    gen = loader.epoch_batches(0)
+    next(gen)
+    gen.close()                      # triggers the finally -> stop + drain
+    import time
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before + 1
+
+
+def test_collate_mixed_optional_keys_raises():
+    items = [{"idx": 0, "train_points": np.zeros((4, 3), np.float32),
+              "cond": np.zeros(2, np.float32)},
+             {"idx": 1, "train_points": np.zeros((4, 3), np.float32)}]
+    with pytest.raises(ValueError, match="shards disagree"):
+        collate(items)
+
+
+def test_loader_len_matches_yield_count_ragged_world():
+    """len(loader) must equal the number of batches epoch_batches yields
+    under ceil-padded rank sharding (review: floor-sharding understated
+    total_steps and let the cosine LR rebound past t=1)."""
+    ds = _FailingDS(n=31, fail_at=10 ** 9)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=0,
+                        rank=0, world_size=8, drop_last=True)
+    n_yielded = sum(1 for _ in loader.epoch_batches(0))
+    assert len(loader) == n_yielded == 2
+
+
+def test_discover_first_pattern_wins(tmp_path):
+    """Split globs must not union with the flat fallback — train and test
+    would silently share files (review)."""
+    (tmp_path / "train_a.h5").write_bytes(b"")
+    (tmp_path / "test_a.h5").write_bytes(b"")
+    from pcfm.data.h5_dataset import _discover
+    pats = lambda split: [str(tmp_path / split / "*.h5"),
+                          str(tmp_path / f"{split}*.h5"),
+                          str(tmp_path / "*.h5")]
+    tr = _discover(str(tmp_path), "train", pats("train"))
+    te = _discover(str(tmp_path), "test", pats("test"))
+    assert tr == [str(tmp_path / "train_a.h5")]
+    assert te == [str(tmp_path / "test_a.h5")]
+
+
+def test_test_split_pads_cond_to_train_canon(tmp_path):
+    """A val/test split whose own motor-dim mode differs must pad the
+    condition to the TRAIN split's canonical dim (review: the model's
+    cond width is fixed by the train scan)."""
+    import h5py
+
+    for split, dims in (("train", [2, 2, 2, 3]), ("test", [3, 3, 3, 2])):
+        d = tmp_path / split
+        d.mkdir()
+        with h5py.File(d / "shard-000.h5", "w") as f:
+            n, dmax = len(dims), 3
+            f["data"] = np.random.rand(n, 32, 3).astype(np.float32)
+            m = np.full((n, dmax), np.nan, np.float32)
+            for i, k in enumerate(dims):
+                m[i, :k] = 0.5
+            f["motors"] = m
+    cfg = Config(dataset_type="partnet_h5", data_dir=str(tmp_path),
+                 tr_max_sample_points=16, te_max_sample_points=16)
+    tr, te = get_datasets(cfg)
+    assert tr.cond_dim == 2 and te.cond_dim == 2     # not test's mode (3)
+    rng = np.random.RandomState(0)
+    assert te.get(0, rng)["cond"].shape == (2,)
+
+    # eval_only: the run's recorded cond_dim is authoritative, train
+    # split untouched
+    cfg2 = Config(dataset_type="partnet_h5", data_dir=str(tmp_path),
+                  tr_max_sample_points=16, te_max_sample_points=16,
+                  cond_dim=2, has_rgb=False)
+    none_tr, te2 = get_datasets(cfg2, eval_only=True)
+    assert none_tr is None and te2.cond_dim == 2
+
+
+def test_cosine_lr_clamps_past_total():
+    import jax.numpy as jnp
+
+    from pcfm.train.state import cosine_lr
+    past = float(cosine_lr(jnp.int32(200), total=100, base_lr=1e-3,
+                           min_lr=1e-6, warmup=10))
+    assert past == pytest.approx(1e-6, rel=1e-3)
