@@ -134,9 +134,14 @@ class ContextNet(nn.Module):
         # sorted-window voxel backend: sort points ONCE by their stage-0
         # voxel id (every op inside is permutation-equivariant) and invert
         # at exit; the PVConv scatters/gathers then hit narrow id windows
-        # (pcfm/ops/pallas/voxel_sorted.py)
+        # (pcfm/ops/pallas/voxel_sorted.py).  Gate on the SAME per-stage
+        # predicate the PVConvs use (review: a duplicated R^3 literal
+        # ignored the N gate, paying the entry sort when every stage
+        # would fall back to XLA anyway)
+        from pcfm.nn.pvconv import _interp, _use_sorted
         use_sorted = (self.voxel_backend == "sorted"
-                      and max(self.stage_res) ** 3 >= 4096)
+                      and any(_use_sorted(self.voxel_backend, int(r), b, n)
+                              for r in self.stage_res))
         perm = inv = None
         from pcfm.parallel.sp_context import sp_mesh_for
         sp_mesh = sp_mesh_for(b, n)
@@ -171,7 +176,11 @@ class ContextNet(nn.Module):
                                  name="t_proj")(
             timestep_embedding(t, self.emb_dim)))
         if cond is None or (hasattr(cond, "size") and cond.size == 0):
-            c_in = jnp.zeros((b, 1), jnp.float32)
+            # zero vector at the MODEL's cond width — (b, 1) would give
+            # c_proj an input-dependent kernel shape when cond_dim > 0
+            # (review; matches _t_c_embed in velocity.py)
+            c_in = jnp.zeros((b, self.cond_dim if self.cond_dim > 0
+                              else 1), jnp.float32)
         else:
             c_in = cond.astype(jnp.float32)
         c_emb = nn.silu(nn.Dense(self.emb_dim, kernel_init=normal02,
@@ -179,10 +188,11 @@ class ContextNet(nn.Module):
                                  name="c_proj")(c_in))
         emb = t_emb + c_emb                                         # (B,E)
 
+        assert d == self.in_point_dim, \
+            f"ContextNet expected in_point_dim={self.in_point_dim}, got {d}"
         feats = [jnp.broadcast_to(emb[:, None, :], (b, n, self.emb_dim)),
                  coords]
-        use_rgb = (self.in_point_dim == 6)
-        if use_rgb and d == 6:
+        if self.in_point_dim == 6:
             feats.append(x[..., 3:])
         f = jnp.concatenate(feats, axis=-1).astype(
             self.island_dtype)                                      # (B,N,C_in)
@@ -191,7 +201,6 @@ class ContextNet(nn.Module):
         # PVConv at that resolution (coords are constant across stages)
         caches: dict = {}
         if use_sorted:
-            from pcfm.nn.pvconv import _interp, _use_sorted
             from pcfm.ops.voxel_sorted import build_stage_cache
             for rs in dict.fromkeys(int(r) for r in self.stage_res):
                 if not _use_sorted(self.voxel_backend, rs, b, n):

@@ -94,9 +94,18 @@ def logits_mask(coords: jax.Array, logits: jax.Array,
         cnt = jnp.sum(mask_b)
         # candidate indices ordered first (stable), padding after
         order = jnp.argsort(~mask_b, stable=True).astype(jnp.int32)
-        # random permutation of candidate slots with repetition when cnt < M
-        slot = jax.random.randint(k, (m,), 0, jnp.maximum(cnt, 1))
-        return jnp.where(cnt > 0, order[slot], 0)
+        k1, k2 = jax.random.split(k)
+        # random permutation of the cnt candidate slots (random scores,
+        # +inf on padding); tiling the permutation repeats candidates
+        # only when cnt < M — matching the reference's replace=False
+        # draw + floor/remainder repetition (sampling.py:73-81; review:
+        # randint sampled WITH replacement even when cnt >= M)
+        scores = jnp.where(jnp.arange(mask_b.shape[0]) < cnt,
+                           jax.random.uniform(k1, mask_b.shape), jnp.inf)
+        perm_slots = jnp.argsort(scores).astype(jnp.int32)
+        take = perm_slots[jnp.arange(m) % jnp.maximum(cnt, 1)]
+        take = jax.random.permutation(k2, take)     # reference shuffles
+        return jnp.where(cnt > 0, order[take], 0)
 
     keys = jax.random.split(key, b)
     sel = jax.vmap(select_one)(keys, mask)                          # (B, M)

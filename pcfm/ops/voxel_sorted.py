@@ -38,10 +38,12 @@ DOT_PRECISION = jax.lax.Precision.DEFAULT
 
 def _pad_c(x: jax.Array) -> jax.Array:
     """Channels <= 128 pass through (full-dim minor blocks are legal);
-    larger channel counts pad to a multiple of 128 so the kernel's channel
-    blocking divides evenly."""
+    larger channel counts pad to a multiple of 256 — the kernel's channel
+    block (_block_c) is 256 above that width, and a 128-multiple like
+    C=384 would floor-divide to ONE grid pass and silently drop channels
+    256.. (review)."""
     c = x.shape[-1]
-    pad = 0 if c <= 128 else (-c) % 128
+    pad = 0 if c <= 128 else (-c) % 256
     if pad == 0:
         return x
     return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pad),))
