@@ -488,7 +488,10 @@ def get_datasets(cfg, eval_only: bool = False):
             motor_mod2_offset_deg=cfg.motor_mod2_offset_deg,
             motor_mod3_offset_deg=cfg.motor_mod3_offset_deg,
             motor_max_pos=cfg.motor_max_pos)
-        tr = TDCRH5Dataset(cfg.data_dir, split="train", **common)
+        # TDCR cond_dim is a pure function of cond_mode/motor_enc (no data
+        # scan), so eval_only can skip the train split entirely
+        tr = None if eval_only else TDCRH5Dataset(
+            cfg.data_dir, split="train", **common)
         val_dir = Path(cfg.data_dir, "val")
         split = ("val" if val_dir.exists() and any(val_dir.glob("*.h5"))
                  else "test")
@@ -517,9 +520,10 @@ def get_datasets(cfg, eval_only: bool = False):
                                else tr.cond_dim))
     elif ds_type == "synthetic":
         from pcfm.data.synthetic import SyntheticDataset
-        tr = SyntheticDataset(split="train",
-                              tr_sample_size=cfg.tr_max_sample_points,
-                              te_sample_size=cfg.te_max_sample_points)
+        tr = None if eval_only else SyntheticDataset(
+            split="train",
+            tr_sample_size=cfg.tr_max_sample_points,
+            te_sample_size=cfg.te_max_sample_points)
         te = SyntheticDataset(split="test",
                               tr_sample_size=cfg.tr_max_sample_points,
                               te_sample_size=cfg.te_max_sample_points)
@@ -532,6 +536,13 @@ def get_datasets(cfg, eval_only: bool = False):
                 "eval data has no RGB but the restored run was trained "
                 f"with has_rgb=True ({cfg.data_dir}) — the checkpoint's "
                 "6-channel inputs cannot be built from this dataset")
+        te_cond = int(getattr(te, "cond_dim", 0))
+        if te_cond and int(cfg.cond_dim) and te_cond != int(cfg.cond_dim):
+            raise ValueError(
+                f"eval data cond_dim={te_cond} != restored run "
+                f"cond_dim={cfg.cond_dim} — the checkpoint's conditioning "
+                "width cannot be built from this dataset (partnet_h5 pads "
+                "via cond_dim_override; tdcr/synthetic cannot)")
         return None, te
 
     sel = subset_indices(len(tr), cfg.train_fraction, cfg.train_count,

@@ -245,15 +245,18 @@ class KinematicsClient:
             limit = jx.find("limit")
             jtype = _JOINT_TYPES.get(jx.get("type", "fixed"), JOINT_FIXED)
             lower = upper = 0.0
-            if limit is not None:
+            if jx.get("type") == "continuous":
+                # pybullet convention: unlimited joints report
+                # lower > upper (find_joints then applies the +-pi fixup).
+                # Checked BEFORE the <limit> branch: real URDFs often give
+                # continuous joints a <limit effort= velocity=> element,
+                # and pybullet treats them as unlimited regardless of it.
+                lower, upper = 1.0, -1.0
+            elif limit is not None:
                 # URDF spec: a missing lower/upper attribute defaults to 0
                 # (pybullet's parser does the same) — NOT unlimited
                 lower = float(limit.get("lower", "0") or "0")
                 upper = float(limit.get("upper", "0") or "0")
-            elif jx.get("type") == "continuous":
-                # pybullet convention: unlimited joints report
-                # lower > upper (find_joints then applies the +-pi fixup)
-                lower, upper = 1.0, -1.0
             body.joints.append(_Joint(
                 name=jx.get("name", f"joint_{len(body.joints)}"),
                 jtype=jtype,

@@ -98,8 +98,9 @@ def main(argv: Optional[Sequence[str]] = None):
     os.makedirs(save_dir, exist_ok=True)
     ckpt.save(save_dir, ep, new_state, new_cfg, async_save=False)
     # actual reduction (steps clamp at 1, so 2**phases can overstate it);
-    # the teacher's Heun loop costs 2 evals/step vs the student's 1
-    factor = max(1, 2 * cfg.sample_steps // max(1, steps))
+    # a Heun teacher costs 2 evals/step, an euler teacher 1
+    teacher_evals = (2 if cfg.sampler == "heun" else 1) * cfg.sample_steps
+    factor = max(1, teacher_evals // max(1, steps))
     print(f"[distill] saved distilled checkpoint (euler x{steps}, "
           f"{factor}x fewer NFE) to {save_dir}")
     return save_dir, steps

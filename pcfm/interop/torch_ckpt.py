@@ -24,9 +24,10 @@ naming on both sides is pinned by the transplant parity tests
 (tests/test_torch_parity*.py); this module is additionally validated
 structurally against ``init_state`` at import time.
 
-Supported backbones: ``mlp`` and ``hybrid`` with ``ctx_norm`` in
-{"group", "none"} (the reference default is "group"; its "batch"/"syncbn"
-film-norm variants carry per-film running stats we do not map).
+Supported backbones: ``mlp`` and ``hybrid`` with every reference
+``ctx_norm`` ("group" — the reference default, "batch"/"syncbn" — the
+per-FiLM + head-norm running stats map into the pcfm ``batch_stats``
+``norm/bn`` subtrees, and "none").
 """
 from __future__ import annotations
 
@@ -183,16 +184,24 @@ def pvconv_from_sd(sd: Tree, p: str) -> Tuple[Tree, Tree]:
     return params, stats
 
 
-def film1d_from_sd(sd: Tree, p: str) -> Tree:
-    """Reference _FiLM1d (models.py:322-346), group/none norm only."""
-    out = {"affine": _lin(sd, f"{p}.affine")}
+def film1d_from_sd(sd: Tree, p: str) -> Tuple[Tree, Tree]:
+    """Reference _FiLM1d (models.py:322-346) -> (params, batch_stats).
+
+    ctx_norm='group'/'none': affine-only mapping, no stats.
+    ctx_norm='batch'/'syncbn' (reference maps both to plain BatchNorm1d,
+    models.py:313-319): the norm's running stats land in the pcfm
+    ``norm/bn`` batch_stats subtree (no bias folding — the film norm sees
+    raw features, not a conv output)."""
+    out: Tree = {"affine": _lin(sd, f"{p}.affine")}
+    stats: Tree = {}
     if f"{p}.norm.running_mean" in sd:
-        raise NotImplementedError(
-            "ctx_norm='batch'/'syncbn' film running stats are not mapped; "
-            "re-export with the reference default ctx_norm='group'")
-    if f"{p}.norm.weight" in sd:
+        out["norm"] = {"bn": _affine(sd, f"{p}.norm")}
+        stats["norm"] = {"bn": {
+            "mean": _np(sd[f"{p}.norm.running_mean"]),
+            "var": _np(sd[f"{p}.norm.running_var"])}}
+    elif f"{p}.norm.weight" in sd:
         out["norm"] = _affine(sd, f"{p}.norm")
-    return out
+    return out, stats
 
 
 def context_net_from_sd(sd: Tree) -> Tuple[Tree, Tree]:
@@ -201,12 +210,17 @@ def context_net_from_sd(sd: Tree) -> Tuple[Tree, Tree]:
               "head_pre": _conv1d(sd, "head_pre"),
               "head_out": _conv1d(sd, "head_out"),
               "ctx_from_emb": _lin(sd, "ctx_from_emb.0")}
-    if "head_norm.weight" in sd:
+    stats: Tree = {}
+    if "head_norm.running_mean" in sd:     # ctx_norm='batch'/'syncbn'
+        params["head_norm"] = {"bn": _affine(sd, "head_norm")}
+        stats["head_norm"] = {"bn": {
+            "mean": _np(sd["head_norm.running_mean"]),
+            "var": _np(sd["head_norm.running_var"])}}
+    elif "head_norm.weight" in sd:
         params["head_norm"] = _affine(sd, "head_norm")
     if "global_mlp.0.weight" in sd:
         params["global_0"] = _lin(sd, "global_mlp.0")
         params["global_1"] = _lin(sd, "global_mlp.2")
-    stats: Tree = {}
     for si in range(_count_children(sd, "stages")):
         sp_p, sp_s = shared_mlp_from_sd(sd, f"stages.{si}.proj")
         stage_p: Tree = {"proj": sp_p}
@@ -215,9 +229,12 @@ def context_net_from_sd(sd: Tree) -> Tuple[Tree, Tree]:
             b = f"stages.{si}.blocks.{bi}"
             pv_p, pv_s = pvconv_from_sd(sd, f"{b}.pvconv")
             po_p, po_s = shared_mlp_from_sd(sd, f"{b}.post")
+            fm_p, fm_s = film1d_from_sd(sd, f"{b}.film")
             stage_p[f"block_{bi}"] = {"pvconv": pv_p, "post": po_p,
-                                      "film": film1d_from_sd(sd, f"{b}.film")}
+                                      "film": fm_p}
             stage_s[f"block_{bi}"] = {"pvconv": pv_s, "post": po_s}
+            if fm_s:
+                stage_s[f"block_{bi}"]["film"] = fm_s
         params[f"stage_{si}"] = stage_p
         stats[f"stage_{si}"] = stage_s
     return params, stats

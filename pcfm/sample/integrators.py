@@ -17,6 +17,7 @@ heun (the reference default, NFE = 2*steps), rk4 (NFE = 4*steps).
 """
 from __future__ import annotations
 
+import warnings
 from typing import Callable, Optional
 
 import jax
@@ -149,7 +150,10 @@ def dopri5_sample(vf: VelocityFn, x0: jax.Array, steps: int = 50,
     jit-safe with a bounded iteration count).
 
     ``steps`` seeds the initial dt (1/steps); ``max_steps`` bounds the
-    attempt count (default 8*steps).
+    attempt count (default 8*steps).  If the attempt budget is exhausted
+    before t reaches 1 (stiff field / tight tolerances) the partial state
+    is returned AND a UserWarning is emitted via ``jax.debug.callback``
+    (jit-safe) — never a silent truncation.
     """
     v = make_guided(vf, cond, guidance_scale)
     b = x0.shape[0]
@@ -188,9 +192,19 @@ def dopri5_sample(vf: VelocityFn, x0: jax.Array, steps: int = 50,
         new_dt = dt * factor
         return new_x, new_t, new_dt, it + 1
 
-    x, t, _, _ = jax.lax.while_loop(
+    x, t, _, it = jax.lax.while_loop(
         cond_fn, body,
         (x0, jnp.float32(0.0), jnp.float32(dt0), jnp.int32(0)))
+
+    def _warn_if_truncated(t_final, iters):
+        if float(t_final) < 1.0 - 1e-8:
+            warnings.warn(
+                f"dopri5: max_steps={max_steps} exhausted at "
+                f"t={float(t_final):.5f} < 1 after {int(iters)} attempts — "
+                "the returned state is a PARTIAL integration; raise "
+                "max_steps or loosen rtol/atol", stacklevel=2)
+
+    jax.debug.callback(_warn_if_truncated, t, it)
     return x
 
 

@@ -102,3 +102,42 @@ for name, got, want in (("pf", got_v, want_v), ("pf+cfg", got_g, want_g),
     assert err < 2e-5, name
 print("[interop-vs-reference] imported state reproduces the reference "
       "forward pass (mlp-side modules, actual reference code)")
+
+# ---- ctx_norm='batch'/'syncbn' FiLM mapping vs the ACTUAL reference
+# _FiLM1d (models.py:313-346; pure torch, no CUDA needed).  The full
+# hybrid batch-norm import path is covered by the mirror-based
+# tests/test_interop.py::test_import_hybrid_batchnorm_forward_parity;
+# this checks the norm/bn running-stat mapping against reference code.
+from pcfm.interop.torch_ckpt import film1d_from_sd  # noqa: E402
+from pcfm.nn.film import FiLM1d  # noqa: E402
+
+for norm_type in ("batch", "syncbn"):
+    torch.manual_seed(1)
+    C, E = 24, 16
+    film_t = ref_models._FiLM1d(C, E, norm_type=norm_type).eval()
+    with torch.no_grad():
+        film_t.affine.weight.normal_(0, 0.05)
+        film_t.affine.bias.normal_(0, 0.05)
+        film_t.norm.weight.normal_(1.0, 0.1)
+        film_t.norm.bias.normal_(0, 0.1)
+        film_t.norm.running_mean.normal_(0, 0.3)
+        film_t.norm.running_var.uniform_(0.5, 1.5)
+    # film1d_from_sd expects reference-checkpoint key prefixes
+    sd_pref = {f"f.{k}": v for k, v in film_t.state_dict().items()}
+    p_map, s_map = film1d_from_sd(sd_pref, "f")
+
+    xb = rng.randn(3, C, 17).astype(np.float32)        # torch layout (B,C,N)
+    eb = rng.randn(3, E).astype(np.float32)
+    with torch.no_grad():
+        want_f = film_t(torch.from_numpy(xb), torch.from_numpy(eb)).numpy()
+    mod = FiLM1d(channels=C, norm_type=norm_type)
+    got_f = mod.apply({"params": p_map, "batch_stats": s_map},
+                      jnp.asarray(xb.transpose(0, 2, 1)), jnp.asarray(eb),
+                      train=False)
+    err = float(np.abs(np.asarray(got_f).transpose(0, 2, 1) - want_f).max())
+    status = "OK" if err < 2e-5 else "FAIL"
+    print(f"[interop-vs-reference] _FiLM1d({norm_type}) max|Δ| = "
+          f"{err:.3e}  {status}")
+    assert err < 2e-5, norm_type
+print("[interop-vs-reference] batch/syncbn FiLM running-stat mapping "
+      "matches the reference _FiLM1d forward")

@@ -337,6 +337,47 @@ def test_test_split_pads_cond_to_train_canon(tmp_path):
     assert none_tr is None and te2.cond_dim == 2
 
 
+def test_eval_only_skips_train_split_all_dataset_types(tmp_path):
+    """eval_only must skip the train-split construction for EVERY dataset
+    type, not just partnet_h5 (advisor r3) — exercised by giving tdcr_h5
+    an empty/absent train directory that would raise if scanned."""
+    import h5py
+
+    d = tmp_path / "test"
+    d.mkdir()
+    with h5py.File(d / "shard-000.h5", "w") as f:
+        f["data"] = np.random.rand(3, 32, 3).astype(np.float32)
+        f["motors"] = np.full((3, 6), 0.25, np.float32)
+    # no train/ directory at all: a train scan would fail loudly
+    cfg = Config(dataset_type="tdcr_h5", data_dir=str(tmp_path),
+                 tr_max_sample_points=16, te_max_sample_points=16,
+                 motor_enc="raw6", cond_dim=6)
+    tr, te = get_datasets(cfg, eval_only=True)
+    assert tr is None and len(te) == 3
+
+    cfg_syn = Config(dataset_type="synthetic", tr_max_sample_points=16,
+                     te_max_sample_points=16)
+    tr_s, te_s = get_datasets(cfg_syn, eval_only=True)
+    assert tr_s is None and len(te_s) > 0
+
+
+def test_eval_only_cond_dim_mismatch_raises(tmp_path):
+    """eval_only verifies the eval data's cond_dim against the restored
+    run's recorded cond_dim for dataset types that cannot pad (tdcr)."""
+    import h5py
+
+    d = tmp_path / "test"
+    d.mkdir()
+    with h5py.File(d / "shard-000.h5", "w") as f:
+        f["data"] = np.random.rand(3, 32, 3).astype(np.float32)
+        f["motors"] = np.full((3, 6), 0.25, np.float32)
+    cfg = Config(dataset_type="tdcr_h5", data_dir=str(tmp_path),
+                 tr_max_sample_points=16, te_max_sample_points=16,
+                 motor_enc="raw6", cond_dim=16)   # run trained with geom16
+    with pytest.raises(ValueError, match="cond_dim"):
+        get_datasets(cfg, eval_only=True)
+
+
 def test_cosine_lr_clamps_past_total():
     import jax.numpy as jnp
 

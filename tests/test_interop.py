@@ -75,15 +75,23 @@ def ref_sd_from_hybrid(m: "tmh.HybridMLPT"):
             _put_pvconv(sd, f"{b}.pvconv", blk.pvconv)
             _put_shared_mlp(sd, f"{b}.post", blk.post)
             _put_lin(sd, f"{b}.film.affine", blk.film.affine)
-            sd[f"{b}.film.norm.weight"] = \
-                blk.film.norm.weight.detach().clone()
-            sd[f"{b}.film.norm.bias"] = blk.film.norm.bias.detach().clone()
+            if isinstance(blk.film.norm, torch.nn.BatchNorm1d):
+                _put_bn(sd, f"{b}.film.norm", blk.film.norm)
+            else:
+                sd[f"{b}.film.norm.weight"] = \
+                    blk.film.norm.weight.detach().clone()
+                sd[f"{b}.film.norm.bias"] = \
+                    blk.film.norm.bias.detach().clone()
     if ctx.with_global:
         _put_lin(sd, "ctx_net.global_mlp.0", ctx.global_0)
         _put_lin(sd, "ctx_net.global_mlp.2", ctx.global_1)
     _put_lin(sd, "ctx_net.head_pre", ctx.head_pre, conv1d=True)
-    sd["ctx_net.head_norm.weight"] = ctx.head_norm.weight.detach().clone()
-    sd["ctx_net.head_norm.bias"] = ctx.head_norm.bias.detach().clone()
+    if isinstance(ctx.head_norm, torch.nn.BatchNorm1d):
+        _put_bn(sd, "ctx_net.head_norm", ctx.head_norm)
+    else:
+        sd["ctx_net.head_norm.weight"] = \
+            ctx.head_norm.weight.detach().clone()
+        sd["ctx_net.head_norm.bias"] = ctx.head_norm.bias.detach().clone()
     _put_lin(sd, "ctx_net.head_out", ctx.head_out, conv1d=True)
     _put_lin(sd, "ctx_net.ctx_from_emb.0", ctx.ctx_from_emb)
     for k, v in m.head.state_dict().items():   # names already reference-
@@ -250,6 +258,75 @@ def test_import_hybrid_forward_parity():
     np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
 
     # EMA (= live here) must run the same forward through the ema subtree
+    got_e, _ = bundle.apply_pf(state.ema_pf["params"],
+                               state.ema_pf["batch_stats"], jnp.asarray(x),
+                               jnp.asarray(t), jnp.asarray(cond), None,
+                               train=False)
+    np.testing.assert_allclose(np.asarray(got_e), want, atol=ATOL)
+
+
+def test_import_hybrid_batchnorm_forward_parity():
+    """ctx_norm='batch' (and the reference's aliased 'syncbn') carries
+    per-FiLM + head-norm running stats — the importer must land them in
+    the pcfm batch_stats norm/bn subtrees (VERDICT r3 weak #5).
+    Reference semantics: models.py:313-319 maps batch/syncbn to plain
+    BatchNorm1d."""
+    torch.manual_seed(11)
+    cond_dim, pd, depth = 2, 6, 3
+    latent = 8
+    pf_cond = latent + cond_dim
+    ctx_kw = dict(emb_dim=16, ctx_dim=8, stage_channels=(16,),
+                  stage_blocks=(2,), stage_res=(4,), with_se=True,
+                  gn_groups=4, with_global=False, t_gate_k=10.0,
+                  t_gate_tau=0.8, norm="batch")
+    head_kw = dict(ctx_dim=8, width=32, depth=depth, emb_dim=16)
+    net_t = tmh.HybridMLPT(pf_cond, pd, ctx_kw, head_kw).eval()
+    _randomize_bn_stats(net_t, seed=11)       # incl. the film/head BNs
+    enc_t = tm.ShapeEncoderT(latent, 16, 4, 6).eval()
+    lf_t = tm.LatentVelocityNetT(latent, 0, 24, 3, 16).eval()
+
+    args = dict(pf_backbone="hybrid", latent_dim=latent, enc_width=16,
+                enc_depth=4, pf_width=32, pf_depth=depth, pf_emb_dim=16,
+                lf_width=24, lf_depth=3, lf_emb_dim=16, ctx_dim=8,
+                ctx_emb_dim=16, ctx_stage_channels=[16],
+                ctx_stage_blocks=[2], ctx_stage_res=[4], ctx_with_se=True,
+                ctx_norm="batch", ctx_gn_groups=4, ctx_with_global=False,
+                ctx_t_gate_k=10.0, ctx_t_gate_tau=0.8, amp=False,
+                use_bf16=False, has_rgb=True, cond_dim=cond_dim,
+                use_rgb_in_latent=True, pointflow_rgb=True)
+    pf_sd = ref_sd_from_hybrid(net_t)
+    assert "ctx_net.stages.0.blocks.0.film.norm.running_mean" in pf_sd
+    ckpt = {"epoch": 2, "global_step": 55, "encoder": enc_t.state_dict(),
+            "pf": pf_sd, "lf": lf_t.state_dict(),
+            "ema_pf": {k: v.float() * 1.0 for k, v in pf_sd.items()
+                       if v.dtype.is_floating_point},
+            "ema_lf": lf_t.state_dict(), "args": args,
+            "cond_dim": cond_dim}
+    cfg = interop.config_from_reference_args(args, cond_dim=cond_dim,
+                                             voxel_backend="xla")
+    bundle, state, _ = interop.state_from_reference_ckpt(ckpt, cfg)
+
+    # the film running stats made it into batch_stats (not default init)
+    film_bn = state.batch_stats["pf"]["ctx_net"]["stage_0"]["block_0"][
+        "film"]["norm"]["bn"]
+    want_mean = net_t.ctx_net.stage_blocks[0][0].film.norm \
+        .running_mean.numpy()
+    np.testing.assert_allclose(np.asarray(film_bn["mean"]), want_mean,
+                               atol=0)
+
+    rng = np.random.RandomState(6)
+    x = rng.randn(2, 30, pd).astype(np.float32)
+    t = rng.rand(2).astype(np.float32)
+    cond = rng.randn(2, pf_cond).astype(np.float32)
+    with torch.no_grad():
+        want = net_t(torch.from_numpy(x), torch.from_numpy(t),
+                     torch.from_numpy(cond)).numpy()
+    got, _ = bundle.apply_pf(state.params["pf"], state.batch_stats["pf"],
+                             jnp.asarray(x), jnp.asarray(t),
+                             jnp.asarray(cond), None, train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+    # EMA subtree runs the same forward
     got_e, _ = bundle.apply_pf(state.ema_pf["params"],
                                state.ema_pf["batch_stats"], jnp.asarray(x),
                                jnp.asarray(t), jnp.asarray(cond), None,

@@ -305,3 +305,27 @@ def test_partial_limit_attributes_default_zero(tmp_path):
     joints = find_joints(p, bid, ["revolute"], None)
     assert joints[0]["lower"] == pytest.approx(0.0)
     assert joints[0]["upper"] == pytest.approx(1.57)
+
+
+def test_continuous_joint_with_limit_tag_stays_unlimited(tmp_path):
+    """A 'continuous' joint carrying a <limit effort/velocity> element
+    (common in real URDFs) must stay unlimited — pybullet ignores the
+    limit tag for continuous joints; previously the limit branch froze it
+    to lower=upper=0 (advisor r3)."""
+    (tmp_path / "m.urdf").write_text("""<robot name="x">
+  <link name="a"/><link name="b"/>
+  <joint name="joint_0" type="continuous">
+    <parent link="a"/><child link="b"/>
+    <limit effort="10" velocity="1"/>
+    <axis xyz="0 0 1"/>
+  </joint></robot>""")
+    p = KinematicsClient()
+    p.connect(p.DIRECT)
+    bid = p.loadURDF(str(tmp_path / "m.urdf"))
+    # raw parse: unlimited convention lower > upper
+    info = p.getJointInfo(bid, 0)
+    assert float(info[8]) > float(info[9])
+    # find_joints applies the +-pi revolute fixup, not a frozen 0/0 range
+    joints = find_joints(p, bid, ["revolute"], None)
+    assert joints[0]["lower"] == pytest.approx(-math.pi)
+    assert joints[0]["upper"] == pytest.approx(math.pi)

