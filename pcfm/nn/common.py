@@ -9,6 +9,7 @@ GroupNorm group selection ports models.py:297-319.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax.nn.initializers import normal, variance_scaling
@@ -72,3 +73,47 @@ class BatchNorm1d(nn.Module):
                           momentum=1.0 - self.momentum, epsilon=self.eps,
                           axis=-1, dtype=jnp.float32, name="bn")
         return bn(x)
+
+
+class FlatBatchNorm(nn.Module):
+    """BatchNorm over every non-channel axis, computed on a 2-D collapse.
+
+    Drop-in replacement for ``nn.BatchNorm(axis=-1)`` with IDENTICAL
+    param/batch_stats naming ({scale,bias} / {mean,var}) and flax
+    fast-variance arithmetic (mean of squares minus squared mean, biased;
+    ``y = (x - mean) * (scale * rsqrt(var + eps)) + bias``).
+
+    Motivation (r4, ROADMAP #18): XLA lowers the 5-D NDHWC voxel-grid BN
+    reduction through a channel-major transpose copy (~7 ms/step in the
+    hybrid trace).  Collapsing to (B·D·H·W, C) FIRST keeps the stats
+    reduce and its backward in the native minor-most-channel layout.
+    ``dtype`` is the normalize/output dtype; stats math is always fp32.
+    """
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            x2 = x.reshape(-1, c).astype(jnp.float32)
+            mean = jnp.mean(x2, axis=0)
+            var = jnp.mean(jnp.square(x2), axis=0) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        mul = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(self.dtype)
+        return ((x.astype(self.dtype) - mean.astype(self.dtype)) * mul
+                + bias.astype(self.dtype))

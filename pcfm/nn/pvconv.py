@@ -30,6 +30,13 @@ from pcfm.parallel.sp_context import sp_mesh_for
 # already fast); the sorted kernels run in interpret mode off-TPU so the
 # same code path is testable on CPU
 SORTED_R3_MIN = 4096
+# voxel-grid BatchNorm implementation: "flat" collapses the NDHWC grid to
+# (B*D*H*W, C) before the stats reduce (avoids XLA's channel-major
+# transpose copy — ROADMAP #18), "flax" is the stock nn.BatchNorm; both
+# produce identical param/stat trees and numerics equal up to reduction
+# order (tests/test_nn.py equality tests).  "flat_bf16" additionally
+# normalizes in the island dtype (output bf16 when the island is bf16).
+BN_IMPL = "flat"
 # ... and only for point counts where the window matmuls amortize the
 # sort/metadata cost (below this the XLA segment-sum/gather already wins)
 SORTED_N_MIN = 4096
@@ -153,9 +160,19 @@ class PVConv(nn.Module):
                            dtype=self.dtype, use_bias=False,
                            kernel_init=nn.initializers.lecun_normal(),
                            name=f"conv3d_{i}")(grid)
-            grid = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-4, axis=-1, dtype=jnp.float32,
-                                name=f"bn3d_{i}")(grid)
+            if BN_IMPL.startswith("flat"):
+                from pcfm.nn.common import FlatBatchNorm
+                bn_dtype = (self.dtype if BN_IMPL == "flat_bf16"
+                            else jnp.float32)
+                grid = FlatBatchNorm(use_running_average=not train,
+                                     momentum=0.9, epsilon=1e-4,
+                                     dtype=bn_dtype,
+                                     name=f"bn3d_{i}")(grid)
+            else:
+                grid = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-4, axis=-1,
+                                    dtype=jnp.float32,
+                                    name=f"bn3d_{i}")(grid)
             grid = nn.leaky_relu(grid, negative_slope=0.1)
         if self.with_se:
             grid = SE3d(self.out_channels, dtype=self.dtype, name="se")(grid)

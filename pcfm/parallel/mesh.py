@@ -70,18 +70,45 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def data_axis_process_span(mesh: Mesh) -> int:
+    """How many distinct processes the ``data`` mesh axis crosses (1 when
+    the axis lives entirely within each process).  This is the factor by
+    which rank-sharded loader batches concatenate into the global batch:
+    global_B = local_B * span."""
+    ax = mesh.axis_names.index("data")
+    col = np.moveaxis(mesh.devices, ax, 0).reshape(
+        mesh.devices.shape[ax], -1)[:, 0]
+    return len({d.process_index for d in col})
+
+
 def shard_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
-    """Place a host batch dict onto the mesh with the right shardings."""
+    """Place a host batch dict onto the mesh with the right shardings.
+
+    Multi-process: each process passes its OWN loader batch (the
+    rank-sharded sub-batch — the DistributedSampler analogue) and the
+    global batch is their concatenation along dim 0 when the data axis
+    spans processes.  When the data axis lives within each process (e.g.
+    the transposed sp-across-hosts layout), processes are replicas on the
+    batch dim and must pass identical batches.  Non-batch dims are always
+    host-complete (each process loads full points; the points axis slice
+    is taken locally)."""
     if mesh is None:
         return jax.device_put(batch)
+    multi = jax.process_count() > 1
+    span = data_axis_process_span(mesh) if multi else 1
     out = {}
     for k, v in batch.items():
-        if hasattr(v, "ndim") and v.ndim >= 3:
-            out[k] = jax.device_put(v, batch_sharding(mesh))
-        elif hasattr(v, "ndim") and v.ndim >= 1:
-            out[k] = jax.device_put(v, batch_only_sharding(mesh))
-        else:
+        if not hasattr(v, "ndim") or v.ndim < 1:
             out[k] = v
+            continue
+        sh = batch_sharding(mesh) if v.ndim >= 3 \
+            else batch_only_sharding(mesh)
+        if multi:
+            gshape = (v.shape[0] * span,) + tuple(v.shape[1:])
+            out[k] = jax.make_array_from_process_local_data(
+                sh, np.asarray(v), gshape)
+        else:
+            out[k] = jax.device_put(v, sh)
     return out
 
 

@@ -49,10 +49,28 @@ LEGACY_KEY_MAP = {"opt_main": "opt_state", "model": "params"}
 _ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
 
 
+def _mp_options() -> dict:
+    """Confine orbax's internal barriers to the calling process.
+
+    The reference saves on rank 0 only (train.py:682-706); here save() is
+    likewise called on rank 0 alone, but orbax's default
+    MultiprocessingOptions spans ALL processes and its sync_global_devices
+    barrier would deadlock/mismatch against whatever collective the other
+    ranks are running (observed: gloo size-mismatch abort in the 2-process
+    loop test).  Restores are read-only and also safe per-process."""
+    if jax.process_count() > 1:
+        me = jax.process_index()
+        return {"multiprocessing_options": ocp.options.MultiprocessingOptions(
+            primary_host=me, active_processes={me},
+            barrier_sync_key_prefix=f"proc{me}")}
+    return {}
+
+
 def _async_ckptr() -> ocp.AsyncCheckpointer:
     global _ASYNC_CKPTR
     if _ASYNC_CKPTR is None:
-        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler(),
+                                             **_mp_options())
         atexit.register(_ASYNC_CKPTR.wait_until_finished)
     return _ASYNC_CKPTR
 
@@ -124,7 +142,7 @@ def save(out_dir: str, epoch: int, state: TrainState, cfg: Config,
         ckptr.save(os.path.join(path, "state"), args=ocp.args.StandardSave(
             host_state), force=True)
     else:
-        with ocp.StandardCheckpointer() as ckptr:
+        with ocp.StandardCheckpointer(**_mp_options()) as ckptr:
             ckptr.save(os.path.join(path, "state"), host_state, force=True)
     keep = int(getattr(cfg, "keep_last_ckpts", 0) or 0)
     if keep > 0:
@@ -140,7 +158,7 @@ def restore(path: str, state: TrainState) -> Tuple[TrainState, dict]:
     wait_for_saves()
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
     try:
-        with ocp.StandardCheckpointer() as ckptr:
+        with ocp.StandardCheckpointer(**_mp_options()) as ckptr:
             restored = ckptr.restore(
                 os.path.join(os.path.abspath(path), "state"), abstract)
     except Exception as e:  # noqa: BLE001 — re-raise with actionable hint
@@ -182,7 +200,7 @@ def restore_tolerant(path: str, state: TrainState,
     (kept fresh), ``unexpected`` (ignored ckpt keys) and ``opt_reset``.
     """
     wait_for_saves()
-    with ocp.StandardCheckpointer() as ckptr:
+    with ocp.StandardCheckpointer(**_mp_options()) as ckptr:
         raw = ckptr.restore(os.path.join(os.path.abspath(path), "state"))
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)

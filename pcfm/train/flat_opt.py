@@ -12,9 +12,10 @@ runs AdamW + joint global-norm clip + warmup/cosine LR as ~15 fused
 vector ops on the flat buffer, and unravels the update tree at the end.
 Semantics match exactly:
   * optax.scale_by_adam bias correction (count+1 powers)
-  * additive decoupled weight decay (optax.adamw wd)
-  * per-GROUP base LR (enc/pf/lf/adv) via a constant per-element LR
-    vector built at init
+  * additive decoupled weight decay (optax.adamw wd), applied in the
+    per-leaf epilogue (skips a param-sized ravel copy; bitwise equal)
+  * per-GROUP base LR (enc/pf/lf/adv) as a per-leaf scalar in the same
+    epilogue (cosine_lr is elementwise in the base LR)
   * joint clip over all groups BEFORE the moment update
     (reference train.py:653-657 clips before optimizer.step)
   * cosine/warmup schedule evaluated at the pre-increment count
@@ -48,16 +49,6 @@ def flat_adamw(base_lr_tree_fn, total_steps: int, *, b1: float = 0.9,
                warmup_steps: int = 0) -> optax.GradientTransformation:
     """base_lr_tree_fn(params) -> pytree of per-leaf base LR scalars."""
 
-    def _lr_base(params):
-        # rebuilt from the CONFIG each update (a constant under jit, so it
-        # folds into the compiled program) rather than stored in the
-        # checkpointed state — resuming with changed --lr_* must take
-        # effect, matching the optax backend
-        lr, _ = ravel_pytree(jax.tree_util.tree_map(
-            lambda p, b: jnp.full(p.shape, b, jnp.float32),
-            params, base_lr_tree_fn(params)))
-        return lr
-
     def init(params):
         flat, _ = ravel_pytree(params)
         return FlatAdamWState(count=jnp.zeros((), jnp.int32),
@@ -78,19 +69,28 @@ def flat_adamw(base_lr_tree_fn, total_steps: int, *, b1: float = 0.9,
         mhat = m / (1.0 - b1 ** cf)
         vhat = v / (1.0 - b2 ** cf)
         u = mhat / (jnp.sqrt(vhat) + eps)
-        if weight_decay:
-            p, _ = ravel_pytree(params)
-            u = u + weight_decay * p.astype(jnp.float32)
-        lr_base = _lr_base(params)
-        if use_cosine:
-            # state.cosine_lr broadcasts over a per-element base-LR vector
-            from pcfm.train.state import cosine_lr
-            lr = cosine_lr(state.count, total_steps, lr_base, min_lr,
-                           warmup_steps)
-        else:
-            lr = lr_base
-        return unravel(-lr * u), FlatAdamWState(count=c, m=m, v=v,
-                                                gnorm=gnorm)
+        # weight decay + LR move to a PER-LEAF epilogue (r4, ROADMAP #18
+        # concat chain): the base LR is a scalar per leaf and cosine_lr is
+        # elementwise in it, so -lr*(u + wd*p) per leaf is bitwise equal
+        # to the former flat form while skipping the params ravel (a
+        # param-sized concat copy) and the per-element LR constant vector
+        u_tree = unravel(u)
+
+        def leaf_update(u_leaf, p_leaf, base):
+            if use_cosine:
+                from pcfm.train.state import cosine_lr
+                lr = cosine_lr(state.count, total_steps, base, min_lr,
+                               warmup_steps)
+            else:
+                lr = jnp.float32(base)
+            uu = u_leaf.astype(jnp.float32)
+            if weight_decay:
+                uu = uu + weight_decay * p_leaf.astype(jnp.float32)
+            return (-lr * uu).astype(u_leaf.dtype)
+
+        updates = jax.tree_util.tree_map(leaf_update, u_tree, params,
+                                         base_lr_tree_fn(params))
+        return updates, FlatAdamWState(count=c, m=m, v=v, gnorm=gnorm)
 
     return optax.GradientTransformation(init, update)
 

@@ -200,7 +200,7 @@ def train(cfg: Config, verbose: bool = True) -> dict:
                           async_save=cfg.async_save)
             cd_rec, cd_gen = run_validation(cfg, bundle, state, recon_fn,
                                             sample_fn, val_batch, ep, rng,
-                                            rank, verbose)
+                                            rank, verbose, mesh=mesh)
             if tb is not None and cd_rec is not None:
                 tb.add_scalars({"val/recon_cd": cd_rec,
                                 "val/gen_cd": cd_gen}, ep)
@@ -217,33 +217,78 @@ def train(cfg: Config, verbose: bool = True) -> dict:
 
 
 def run_validation(cfg, bundle, state, recon_fn, sample_fn, val_batch, ep,
-                   rng, rank, verbose=True):
-    """save_val_recon + save_val_samples (train.py:283-429)."""
-    if jax.process_count() > 1:
-        # each process holds a DIFFERENT host-local val batch, but state
-        # is sharded over the GLOBAL mesh — feeding per-rank arrays into
-        # the jitted recon/sample fns is ill-defined across hosts, and
-        # gathering the sharded outputs for PLY dumps needs a fully-
-        # addressable array (review).  Offline eval (pcfm.eval.cli) is
-        # the multi-host-safe path.
-        if rank == 0 and verbose:
-            print(f"[Val ep{ep:04d}] skipped in-loop validation on a "
-                  "multi-host run; use the eval CLI offline")
-        return None, None
-    pts = jnp.asarray(val_batch["test_points"], jnp.float32)
-    rgb = val_batch.get("test_rgb")
-    rgb = jnp.asarray(rgb, jnp.float32) if rgb is not None else None
-    cond_j = val_batch.get("cond")
-    cond_j = jnp.asarray(cond_j, jnp.float32) if cond_j is not None else None
+                   rng, rank, verbose=True, mesh=None):
+    """save_val_recon + save_val_samples (train.py:283-429).
+
+    Multi-host: the reference runs the fixed-batch val dumps on rank 0
+    under DDP every save_every (train.py:707-712).  Here the state lives
+    on the GLOBAL mesh, so every process must participate in the jitted
+    computation: the per-rank fixed val batches are allgathered into one
+    identical global batch (it is a single batch — process_allgather is
+    cheap), the recon/sample fns run SPMD over the mesh, and the global
+    outputs are gathered back for the rank-0 PLY/CD artifacts."""
+    multi = jax.process_count() > 1
+    gt_host = None
+    if multi:
+        from jax.experimental import multihost_utils
+
+        def _gather(v):
+            if v is None:
+                return None
+            return multihost_utils.process_allgather(
+                np.asarray(v, np.float32), tiled=True)
+
+        pts_h = _gather(val_batch["test_points"])
+        rgb_h = _gather(val_batch.get("test_rgb"))
+        cond_h = _gather(val_batch.get("cond"))
+        dp_size = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+        keep = max(dp_size, pts_h.shape[0] - pts_h.shape[0] % dp_size)
+
+        def _put(v, ndim3: bool):
+            # the gathered batch is IDENTICAL on every process, so build
+            # the global array with global_shape == local shape (JAX's
+            # replicas-hold-the-same-data construction) — shard_batch
+            # would re-concatenate it across the data-axis process span
+            if v is None:
+                return None
+            from pcfm.parallel.mesh import (batch_only_sharding,
+                                            batch_sharding)
+            if mesh is None:
+                return jnp.asarray(v)
+            sh = batch_sharding(mesh) if ndim3 else batch_only_sharding(mesh)
+            return jax.make_array_from_process_local_data(sh, v, v.shape)
+
+        pts = _put(pts_h[:keep], True)
+        rgb = _put(rgb_h[:keep] if rgb_h is not None else None, True)
+        cond_j = _put(cond_h[:keep] if cond_h is not None else None, False)
+        gt_host = (pts_h[:keep],
+                   rgb_h[:keep] if rgb_h is not None else None)
+    else:
+        pts = jnp.asarray(val_batch["test_points"], jnp.float32)
+        rgb = val_batch.get("test_rgb")
+        rgb = jnp.asarray(rgb, jnp.float32) if rgb is not None else None
+        cond_j = val_batch.get("cond")
+        cond_j = jnp.asarray(cond_j, jnp.float32) if cond_j is not None \
+            else None
     b, n = pts.shape[:2]
     k1, k2 = jax.random.split(jax.random.fold_in(rng, ep))
 
     x_rec = recon_fn(state, pts, rgb, cond_j, k1)
     x_gen = sample_fn(state, cond_j, k2, b, n)
 
+    if multi:
+        from jax.experimental import multihost_utils
+        # outputs may be sharded over non-addressable devices; gather the
+        # full global value on every process, then rank 0 writes/prints
+        x_rec = multihost_utils.process_allgather(x_rec, tiled=True)
+        x_gen = multihost_utils.process_allgather(x_gen, tiled=True)
+
     if rank == 0:
-        gt_pts = np.asarray(pts)
-        gt_rgb = np.asarray(rgb) if rgb is not None else None
+        if multi:
+            gt_pts, gt_rgb = gt_host
+        else:
+            gt_pts = np.asarray(pts)
+            gt_rgb = np.asarray(rgb) if rgb is not None else None
         rec_np, gen_np = np.asarray(x_rec), np.asarray(x_gen)
         dump_clouds(rec_np, gt_pts, gt_rgb,
                     os.path.join(cfg.out_dir, f"samples_recon_ep{ep:04d}"),
@@ -251,8 +296,10 @@ def run_validation(cfg, bundle, state, recon_fn, sample_fn, val_batch, ep,
         dump_clouds(gen_np, gt_pts, gt_rgb,
                     os.path.join(cfg.out_dir, f"samples_ep{ep:04d}"),
                     cfg.vis_count)
-        cd_rec = val_cd(x_rec, pts)
-        cd_gen = val_cd(x_gen, pts)
+        # CD on host copies: rank 0 computes alone, so it must not launch
+        # a global-mesh computation the other ranks aren't running
+        cd_rec = val_cd(jnp.asarray(rec_np), jnp.asarray(gt_pts))
+        cd_gen = val_cd(jnp.asarray(gen_np), jnp.asarray(gt_pts))
         if verbose:
             print(f"[Val-Recon ep{ep:04d}] CD = {cd_rec:.4f} "
                   f"(EMA={cfg.ema_eval}, {cfg.sampler})")

@@ -29,7 +29,9 @@ import jax.numpy as jnp
 EPOCHS = int(os.environ.get("EPOCHS", 400))
 EVAL_EVERY = int(os.environ.get("EVAL_EVERY", 25))
 SIZE = int(os.environ.get("SIZE", 200))
-TEST = int(os.environ.get("TEST", 96))
+# default protocol (r4): 192-cloud reference set — halves 1-NNA variance
+# vs the 96-cloud runs 4/5 (ROADMAP #20)
+TEST = int(os.environ.get("TEST", 192))
 N = int(os.environ.get("NPTS", 2048))
 B = int(os.environ.get("BATCH", 16))
 OUT = os.environ.get("OUT", "/tmp/pcfm_gen_quality")
@@ -43,7 +45,15 @@ SWEEP = [float(g) for g in os.environ.get(
 # targets; push lower for longer runs)
 NNA_TARGET = float(os.environ.get("NNA_TARGET", 0.70))
 COV_TARGET = float(os.environ.get("COV_TARGET", 0.45))
+# final-eval protocol (r4, VERDICT weak #2/#4): repeated-seed suite evals
+# reported as mean +- spread, CD and EMD variants both
+FINAL_SEEDS = [int(s) for s in os.environ.get(
+    "FINAL_SEEDS", "101,202,303").split(",") if s.strip()]
+SWEEP_SEEDS = [int(s) for s in os.environ.get(
+    "SWEEP_SEEDS", "101,202,303").split(",") if s.strip()]
 
+if os.environ.get("GENQ_CPU"):     # smoke-test off-chip (the axon plugin
+    jax.config.update("jax_platforms", "cpu")   # ignores JAX_PLATFORMS)
 float(jnp.sum(jnp.ones((8, 8))))
 print("[genq] device claimed:", jax.devices()[0], flush=True)
 
@@ -82,6 +92,11 @@ def main():
     cfg = Config(pf_backbone="hybrid",
                  latent_dim=int(os.environ.get("LATENT", 64)),
                  has_rgb=True,
+                 # capacity knobs (r4 scaling lever, VERDICT #1): head
+                 # width/depth + ctx dim alongside the CTX_* stage knobs
+                 pf_width=int(os.environ.get("PF_WIDTH", 512)),
+                 pf_depth=int(os.environ.get("PF_DEPTH", 6)),
+                 ctx_dim=int(os.environ.get("CTX_DIM", 64)),
                  cond_dim=1, pointflow_rgb=True, use_rgb_in_latent=True,
                  amp=True, use_bf16=True, tr_max_sample_points=N,
                  batch_size=B, epochs=EPOCHS, warmup_steps=200,
@@ -105,7 +120,7 @@ def main():
                 jnp.take(rgb_all, idx, axis=0),
                 jnp.take(cond_all, idx, axis=0))
 
-    def run_suite(state, ep, sample_fn=None):
+    def run_suite(state, ep, sample_fn=None, metrics=("cd",)):
         sample_fn = sample_fn or sample
         gens = []
         for s0 in range(0, TEST, B):
@@ -118,7 +133,27 @@ def main():
                                                            + s0), B, N)
             gens.append(np.asarray(x)[:B - pad, :, :3])
         gen = np.concatenate(gens)[:TEST]
-        return gen, generative_metrics(gen, te_pts, metrics=("cd",))
+        return gen, generative_metrics(gen, te_pts, metrics=metrics)
+
+    def seed_band(state, seeds, sample_fn=None, metrics=("cd",), tag=0):
+        """Repeated-seed suites -> per-metric mean / min / max (r4
+        protocol: the 1-NNA run-to-run spread is the same order as the
+        deltas under test, ROADMAP #20)."""
+        rows = []
+        for s in seeds:
+            _, suite = run_suite(state, 900_000 + tag * 1000 + s,
+                                 sample_fn=sample_fn, metrics=metrics)
+            rows.append({k: float(v) for k, v in suite.items()})
+            print(f"[genq] seed {s}: "
+                  f"{ {k: round(v, 4) for k, v in rows[-1].items()} }",
+                  flush=True)
+        agg = {}
+        for k in rows[0]:
+            vals = [r[k] for r in rows]
+            agg[k] = {"mean": round(float(np.mean(vals)), 4),
+                      "min": round(float(np.min(vals)), 4),
+                      "max": round(float(np.max(vals)), 4)}
+        return rows, agg
 
     def save_state(state):
         # survive session death: host-side pickle of the full train state.
@@ -171,30 +206,53 @@ def main():
                 print("[genq] budget out", flush=True)
             break
 
-    gen, suite = run_suite(state, 999_999)
-    np.save(os.path.join(OUT, "gen_final.npy"), gen)   # post-hoc analysis
+    # ---- final protocol (r4): repeated-seed band, CD + EMD variants ----
     save_state(state)
-    print(f"[genq] final suite: {suite}", flush=True)
+    print(f"[genq] final band over seeds {FINAL_SEEDS} (cd+emd):",
+          flush=True)
+    final_rows, final_agg = seed_band(state, FINAL_SEEDS,
+                                      metrics=("cd", "emd"), tag=0)
+    print(f"[genq] final agg: {final_agg}", flush=True)
+    gen, _ = run_suite(state, 900_000 + FINAL_SEEDS[0])   # PLY/npy dump
+    np.save(os.path.join(OUT, "gen_final.npy"), gen)
 
+    result = {"protocol": {"test_clouds": TEST, "seeds": FINAL_SEEDS,
+                           "sampler": cfg.sampler,
+                           "sample_steps": cfg.sample_steps,
+                           "guidance": cfg.guidance_scale},
+              "default": final_agg, "default_per_seed": final_rows}
     if SWEEP:
         import dataclasses
         from pcfm.train.state import ModelBundle
-        sweep_rows = []
+        sweep_out = []
+        best_g, best_mean = None, final_agg["nna_cd"]["mean"]
         for g in SWEEP:
             bundle_g = ModelBundle(dataclasses.replace(
                 cfg, guidance_scale=g))
             sample_g = make_sample_fn(bundle_g)
-            gen_g, suite_g = run_suite(state, 555_000, sample_g)
-            row = {"guidance": g,
-                   **{k: round(float(v), 4) for k, v in suite_g.items()}}
-            sweep_rows.append(row)
-            print(f"[genq] sweep {row}", flush=True)
-            if suite_g["nna_cd"] < suite["nna_cd"]:
-                gen, suite = gen_g, suite_g
-                np.save(os.path.join(OUT, "gen_final.npy"), gen)
+            rows_g, agg_g = seed_band(state, SWEEP_SEEDS, sample_fn=sample_g,
+                                      metrics=("cd",), tag=int(g * 10) + 1)
+            sweep_out.append({"guidance": g, "agg": agg_g,
+                              "per_seed": rows_g})
+            print(f"[genq] sweep g={g}: {agg_g}", flush=True)
+            if agg_g["nna_cd"]["mean"] < best_mean:
+                best_g, best_mean = g, agg_g["nna_cd"]["mean"]
         with open(os.path.join(OUT, "guidance_sweep.json"), "w") as f:
-            json.dump(sweep_rows, f, indent=1)
-        print(f"[genq] best suite after sweep: {suite}", flush=True)
+            json.dump(sweep_out, f, indent=1)
+        if best_g is not None:
+            # full cd+emd band at the winning guidance
+            bundle_b = ModelBundle(dataclasses.replace(
+                cfg, guidance_scale=best_g))
+            sample_b = make_sample_fn(bundle_b)
+            rows_b, agg_b = seed_band(state, FINAL_SEEDS,
+                                      sample_fn=sample_b,
+                                      metrics=("cd", "emd"), tag=999)
+            result.update({"best_guidance": best_g, "best": agg_b,
+                           "best_per_seed": rows_b})
+            print(f"[genq] best band (g={best_g}): {agg_b}", flush=True)
+            gen, _ = run_suite(state, 900_000 + FINAL_SEEDS[0],
+                               sample_fn=sample_b)
+            np.save(os.path.join(OUT, "gen_final.npy"), gen)
     for i in range(4):
         save_point_cloud_ply_rgb(
             gen[i], np.full_like(gen[i], 0.6),
@@ -202,7 +260,7 @@ def main():
         save_point_cloud_ply_rgb(te_pts[i], np.asarray(ds_te.rgbs[i]),
                                  os.path.join(OUT, f"ref_{i}.ply"))
     with open(os.path.join(OUT, "final_suite.json"), "w") as f:
-        json.dump({k: float(v) for k, v in suite.items()}, f, indent=1)
+        json.dump(result, f, indent=1)
     print(f"[genq] total {time.time() - t_all:.0f}s; history + PLYs in "
           f"{OUT}", flush=True)
 

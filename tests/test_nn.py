@@ -128,3 +128,86 @@ def test_ball_query_module(key):
     assert out.shape == (2, 16, 8, 7)  # 3 centered coords + 4 features
     out2 = bq(pts, centers, None)
     assert out2.shape == (2, 16, 8, 3)
+
+
+def test_flat_batchnorm_equals_flax(key):
+    """FlatBatchNorm (the layout-friendly grid BN, ROADMAP #18) must be a
+    drop-in for nn.BatchNorm(axis=-1): identical param/stat trees and
+    fp32-identical outputs, running-stat updates and input grads."""
+    from flax import linen as nn
+
+    from pcfm.nn.common import FlatBatchNorm
+
+    x = jax.random.normal(key, (2, 4, 4, 4, 8), jnp.float32) * 1.7 + 0.3
+    flat = FlatBatchNorm(use_running_average=False, momentum=0.9,
+                         epsilon=1e-4)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                       epsilon=1e-4, axis=-1, dtype=jnp.float32)
+    v_f = flat.init(key, x)
+    v_r = ref.init(key, x)
+    # same tree structure (checkpoint/interop compatibility)
+    assert jax.tree_util.tree_structure(v_f) == \
+        jax.tree_util.tree_structure(v_r)
+    # non-trivial params so scale/bias paths are exercised
+    v = {"params": {"scale": jnp.linspace(0.5, 1.5, 8),
+                    "bias": jnp.linspace(-0.2, 0.2, 8)},
+         "batch_stats": {"mean": jnp.linspace(-1, 1, 8),
+                         "var": jnp.linspace(0.5, 2.0, 8)}}
+    y_f, m_f = flat.apply(v, x, mutable=["batch_stats"])
+    y_r, m_r = ref.apply(v, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
+                               rtol=1e-5, atol=1e-6)
+    for k2 in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(m_f["batch_stats"][k2]),
+                                   np.asarray(m_r["batch_stats"][k2]),
+                                   rtol=1e-6)
+
+    def loss_flat(xx):
+        y, _ = flat.apply(v, xx, mutable=["batch_stats"])
+        return jnp.sum(y * y)
+
+    def loss_ref(xx):
+        y, _ = ref.apply(v, xx, mutable=["batch_stats"])
+        return jnp.sum(y * y)
+
+    g_f = jax.grad(loss_flat)(x)
+    g_r = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               rtol=1e-5, atol=1e-5)
+
+    # eval mode uses running stats identically
+    flat_e = FlatBatchNorm(use_running_average=True, epsilon=1e-4)
+    ref_e = nn.BatchNorm(use_running_average=True, epsilon=1e-4, axis=-1,
+                         dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(flat_e.apply(v, x)),
+                               np.asarray(ref_e.apply(v, x)),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_pvconv_bn_impl_switch_equal(key):
+    """PVConv with BN_IMPL 'flat' vs 'flax' computes the same forward
+    (fp32) so the default switch cannot change training semantics."""
+    import pcfm.nn.pvconv as pvc
+
+    feats = jax.random.normal(key, (2, 48, 8))
+    coords = jax.random.normal(key, (2, 48, 3))
+    old = pvc.BN_IMPL
+    try:
+        outs = {}
+        for impl in ("flat", "flax"):
+            pvc.BN_IMPL = impl
+            m = pvc.PVConv(out_channels=8, resolution=4, with_se=True)
+            v = m.init(key, feats, coords, train=False)
+            (y, _), mut = m.apply(v, feats, coords, train=True,
+                                  mutable=["batch_stats"])
+            outs[impl] = (np.asarray(y),
+                          jax.tree_util.tree_map(np.asarray,
+                                                 mut["batch_stats"]))
+    finally:
+        pvc.BN_IMPL = old
+    np.testing.assert_allclose(outs["flat"][0], outs["flax"][0],
+                               rtol=5e-4, atol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5,
+                                                atol=1e-6),
+        outs["flat"][1], outs["flax"][1])
