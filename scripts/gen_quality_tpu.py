@@ -13,6 +13,7 @@ session; suite evaluated every EVAL_EVERY epochs on conditioned samples
 (one generated cloud per test cloud, same conds — the eval CLI's suite
 protocol). Appends history to OUT/history.json and dumps sample PLYs.
 """
+import dataclasses
 import json
 import os
 import pickle
@@ -51,6 +52,9 @@ FINAL_SEEDS = [int(s) for s in os.environ.get(
     "FINAL_SEEDS", "101,202,303").split(",") if s.strip()]
 SWEEP_SEEDS = [int(s) for s in os.environ.get(
     "SWEEP_SEEDS", "101,202,303").split(",") if s.strip()]
+# resume an interrupted run from its save_state pickle (same config knobs
+# required — the flat-vector length is checked loudly)
+RESUME = os.environ.get("RESUME", "")
 
 if os.environ.get("GENQ_CPU"):     # smoke-test off-chip (the axon plugin
     jax.config.update("jax_platforms", "cpu")   # ignores JAX_PLATFORMS)
@@ -155,7 +159,7 @@ def main():
                       "max": round(float(np.max(vals)), 4)}
         return rows, agg
 
-    def save_state(state):
+    def save_state(state, ep=0, gstep=0):
         # survive session death: host-side pickle of the full train state.
         # ONE device->host transfer (ravel_pytree): per-leaf readbacks pay
         # a tunnel round-trip each — measured 400+ s for this state.
@@ -163,17 +167,57 @@ def main():
         flat, unravel = ravel_pytree(state)
         host = np.asarray(flat)
         with open(os.path.join(OUT, "state_latest.pkl"), "wb") as f:
-            pickle.dump({"flat": host, "unravel": None,
+            pickle.dump({"flat": host, "unravel": None, "epoch": ep,
+                         "gstep": gstep, "cfg": dataclasses.asdict(cfg),
+                         "size": SIZE, "test": TEST, "npts": N, "batch": B,
                          "note": "rebuild via init_state + ravel_pytree "
                                  "unravel on an identically-configured "
                                  "state"}, f)
+
+    def load_state(state, path):
+        """Resume from a save_state pickle: unravel the flat vector into
+        the freshly-initialized state's structure (loud length mismatch if
+        the config differs)."""
+        from jax.flatten_util import ravel_pytree
+        flat, unravel = ravel_pytree(state)
+        with open(path, "rb") as f:
+            saved = pickle.load(f)
+        host = saved["flat"]
+        if host.shape != flat.shape:
+            raise ValueError(
+                f"resume shape mismatch: saved {host.shape} vs state "
+                f"{flat.shape} — config does not match the saved run")
+        if "cfg" in saved:
+            mine = dataclasses.asdict(cfg)
+            diff = {k: (v, mine.get(k)) for k, v in saved["cfg"].items()
+                    if mine.get(k) != v}
+            if diff:
+                print(f"[genq] WARNING resume cfg diff: {diff}", flush=True)
+        return (unravel(jax.device_put(jnp.asarray(host))),
+                int(saved.get("epoch", 0)), int(saved.get("gstep", 0)))
 
     npr = np.random.RandomState(1)
     hist = []
     t0 = time.time()
     gstep = 0
+    start_ep = 1
+    if RESUME:
+        state, res_ep, res_gs = load_state(state, RESUME)
+        # legacy pickles (pre-resume-support) carry no epoch; take it from
+        # RESUME_EPOCH (e.g. len(history.json) of the interrupted run)
+        start_ep = (res_ep or int(os.environ.get("RESUME_EPOCH", 0))) + 1
+        gstep = res_gs or (start_ep - 1) * steps_per_epoch
+        # keep the host RNG stream position consistent with a straight-
+        # through run (one permutation per epoch)
+        for _ in range(start_ep - 1):
+            npr.permutation(SIZE)
+        hist_path = os.path.join(OUT, "history.json")
+        if os.path.exists(hist_path):
+            hist = json.load(open(hist_path))[:start_ep - 1]
+        print(f"[genq] resumed {RESUME} at epoch {start_ep} "
+              f"(gstep {gstep})", flush=True)
     done = False
-    for ep in range(1, EPOCHS + 1):
+    for ep in range(start_ep, EPOCHS + 1):
         order = npr.permutation(SIZE)[:steps_per_epoch * B]
         color_on = jnp.float32(1.0 if ep > cfg.geom_warmup_epochs else 0.0)
         dp = jnp.float32(cfg.cfg_drop_p * min(
@@ -196,7 +240,7 @@ def main():
             row.update({k: round(float(v), 4) for k, v in suite.items()})
             done = (suite.get("nna_cd", 1.0) <= NNA_TARGET
                     and suite.get("cov_cd", 0.0) >= COV_TARGET)
-            save_state(state)
+            save_state(state, ep, gstep)
         hist.append(row)
         print(f"[genq] {row}", flush=True)
         with open(os.path.join(OUT, "history.json"), "w") as f:
@@ -207,7 +251,7 @@ def main():
             break
 
     # ---- final protocol (r4): repeated-seed band, CD + EMD variants ----
-    save_state(state)
+    save_state(state, min(ep, EPOCHS), gstep)
     print(f"[genq] final band over seeds {FINAL_SEEDS} (cd+emd):",
           flush=True)
     final_rows, final_agg = seed_band(state, FINAL_SEEDS,
@@ -222,7 +266,6 @@ def main():
                            "guidance": cfg.guidance_scale},
               "default": final_agg, "default_per_seed": final_rows}
     if SWEEP:
-        import dataclasses
         from pcfm.train.state import ModelBundle
         sweep_out = []
         best_g, best_mean = None, final_agg["nna_cd"]["mean"]
