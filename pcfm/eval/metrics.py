@@ -151,5 +151,13 @@ def generative_metrics(gen: jax.Array, ref: jax.Array,
         # nearest same-set vs cross-set distance per sample
         correct = (d_gg.min(axis=1) < d_gr.min(axis=1)).sum() \
             + (d_rr.min(axis=1) < d_gr.min(axis=0)).sum()
-        out[f"nna_{m}"] = float(correct / (d_gr.shape[0] + d_gr.shape[1]))
+        n = d_gr.shape[0] + d_gr.shape[1]
+        p = float(correct / n)
+        out[f"nna_{m}"] = p
+        # instrument noise for the headline metric: binomial standard
+        # error over the n leave-one-out classifications (treats them as
+        # independent — an approximation; the measured run-to-run spread
+        # on the 96-cloud protocol, ~±0.03, matches 1 SE at n=192).
+        # Claims of deltas below ~2 SE are protocol noise (ROADMAP #20).
+        out[f"nna_{m}_se"] = float(np.sqrt(max(p * (1.0 - p), 1e-12) / n))
     return out

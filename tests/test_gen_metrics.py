@@ -38,6 +38,11 @@ def test_shifted_set_is_detected():
     m = generative_metrics(gen, ref, pair_block=4)
     assert m["mmd_cd"] > 1.0           # no gen cloud near any ref
     assert m["nna_cd"] > 0.9           # trivially separable
+    # binomial SE over 16 LOO classifications: sqrt(p(1-p)/16)
+    p = m["nna_cd"]
+    assert m["nna_cd_se"] == pytest.approx(
+        np.sqrt(max(p * (1 - p), 1e-12) / 16), abs=1e-9)
+    assert m["nna_cd_se"] < 0.13
 
 
 def test_eval_cli_suite_mode(tmp_path):
