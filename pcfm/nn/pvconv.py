@@ -35,8 +35,11 @@ SORTED_R3_MIN = 4096
 # transpose copy — ROADMAP #18), "flax" is the stock nn.BatchNorm; both
 # produce identical param/stat trees and numerics equal up to reduction
 # order (tests/test_nn.py equality tests).  "flat_bf16" additionally
-# normalizes in the island dtype (output bf16 when the island is bf16).
-BN_IMPL = "flat"
+# normalizes in the island dtype (output bf16 when the island is bf16) —
+# probe_bn_r4 measured 98.1 vs 99.1 ms on the 20k hybrid step, so it is
+# the default; fp32-island configs (module dtype fp32, e.g. the transplant
+# parity tests) still normalize in fp32 because bn_dtype follows self.dtype.
+BN_IMPL = "flat_bf16"
 # ... and only for point counts where the window matmuls amortize the
 # sort/metadata cost (below this the XLA segment-sum/gather already wins)
 SORTED_N_MIN = 4096

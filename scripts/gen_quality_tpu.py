@@ -29,6 +29,11 @@ import jax.numpy as jnp
 
 EPOCHS = int(os.environ.get("EPOCHS", 400))
 EVAL_EVERY = int(os.environ.get("EVAL_EVERY", 25))
+# state-pickle save interval (epochs). The save is a full device->host
+# readback of the train state over the dev tunnel — measured 700-1400 s
+# for the 1.27 GB run7 state — so it is decoupled from the (cheap) suite
+# eval; default keeps the old save-at-every-eval behavior.
+SAVE_EVERY = int(os.environ.get("SAVE_EVERY", 0)) or EVAL_EVERY
 SIZE = int(os.environ.get("SIZE", 200))
 # default protocol (r4): 192-cloud reference set — halves 1-NNA variance
 # vs the 96-cloud runs 4/5 (ROADMAP #20)
@@ -240,7 +245,11 @@ def main():
             row.update({k: round(float(v), 4) for k, v in suite.items()})
             done = (suite.get("nna_cd", 1.0) <= NNA_TARGET
                     and suite.get("cov_cd", 0.0) >= COV_TARGET)
-            save_state(state, ep, gstep)
+            if ep % SAVE_EVERY == 0 or ep == EPOCHS or done:
+                t_sv = time.time()
+                save_state(state, ep, gstep)
+                print(f"[genq] state saved at ep{ep} "
+                      f"({time.time() - t_sv:.0f}s)", flush=True)
         hist.append(row)
         print(f"[genq] {row}", flush=True)
         with open(os.path.join(OUT, "history.json"), "w") as f:
