@@ -123,6 +123,10 @@ class Config:
     amp: bool = True                      # bf16 compute (fp32 params)
     use_bf16: bool = True
     voxel_backend: str = "auto"           # auto|xla|sorted (pvconv path)
+    grid_bn: str = "auto"                 # auto|flax|flat|flat_bf16 —
+    #   voxel-grid BN impl; auto follows pcfm.nn.pvconv.BN_IMPL (flat_bf16:
+    #   native-layout stats + bf16 normalize in the bf16 island; identical
+    #   params/stats tree, equality-tested in tests/test_nn.py)
     fused_trunk: str = "auto"             # auto|on|off (pallas film_block)
     pf_film_every: int = 1                # opt-in turbo trunk: FiLM every
                                           # k-th block (1 = reference parity)

@@ -98,8 +98,10 @@ def main(argv: Optional[Sequence[str]] = None):
     os.makedirs(save_dir, exist_ok=True)
     ckpt.save(save_dir, ep, new_state, new_cfg, async_save=False)
     # actual reduction (steps clamp at 1, so 2**phases can overstate it);
-    # a Heun teacher costs 2 evals/step, an euler teacher 1
-    teacher_evals = (2 if cfg.sampler == "heun" else 1) * cfg.sample_steps
+    # evals/step by sampler: euler/midpoint 1, heun 2, rk4 4
+    # (integrators.py docstring)
+    teacher_evals = {"heun": 2, "rk4": 4}.get(cfg.sampler, 1) \
+        * cfg.sample_steps
     factor = max(1, teacher_evals // max(1, steps))
     print(f"[distill] saved distilled checkpoint (euler x{steps}, "
           f"{factor}x fewer NFE) to {save_dir}")

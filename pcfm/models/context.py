@@ -51,6 +51,7 @@ class PVBlock(nn.Module):
     eps: float = VOXEL_EPS
     voxel_backend: str = "xla"
     sorted_at_res: int = -1
+    bn_impl: str = ""
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -61,6 +62,7 @@ class PVBlock(nn.Module):
                       normalize=self.voxel_normalize, eps=self.eps,
                       dtype=self.dtype, voxel_backend=self.voxel_backend,
                       sorted_at_res=self.sorted_at_res,
+                      bn_impl=self.bn_impl,
                       name="pvconv")(f, c, train=train, cache=cache)
         f = SharedMLP(self.channels, dtype=self.dtype,
                       name="post")(f, train=train)
@@ -81,6 +83,7 @@ class PVStage(nn.Module):
     voxel_normalize: bool = True
     voxel_backend: str = "xla"
     sorted_at_res: int = -1
+    bn_impl: str = ""
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -94,6 +97,7 @@ class PVStage(nn.Module):
                            voxel_normalize=self.voxel_normalize,
                            voxel_backend=self.voxel_backend,
                            sorted_at_res=self.sorted_at_res,
+                           bn_impl=self.bn_impl,
                            dtype=self.dtype,
                            name=f"block_{i}")(f, c, emb, train=train,
                                               cache=cache)
@@ -117,6 +121,7 @@ class ContextNet(nn.Module):
     t_gate_k: float = 10.0
     t_gate_tau: float = 0.4
     voxel_backend: str = "xla"       # "xla" | "sorted" (see pvconv.py)
+    bn_impl: str = ""                # grid-BN impl ("" -> pvconv.BN_IMPL)
     island_dtype: jnp.dtype = jnp.float32   # bf16: TPU-first (see docstring)
 
     @nn.compact
@@ -229,6 +234,7 @@ class ContextNet(nn.Module):
                            voxel_backend=(self.voxel_backend if use_sorted
                                           else "xla"),
                            sorted_at_res=int(self.stage_res[0]),
+                           bn_impl=self.bn_impl,
                            dtype=self.island_dtype,
                            name=f"stage_{i}")(f, c, emb, train=train,
                                               cache=caches.get(int(rs)))

@@ -44,6 +44,7 @@ class HybridMLP(nn.Module):
     cfg_dropout_p: float = 0.1
     dtype: jnp.dtype = jnp.float32
     voxel_backend: str = "xla"
+    bn_impl: str = ""                 # grid-BN impl ("" -> pvconv.BN_IMPL)
     fused_trunk: str = "auto"         # auto|on|off (pallas film_block)
     film_every: int = 1               # opt-in turbo head trunk
     ctx_island_dtype: jnp.dtype = jnp.float32
@@ -69,6 +70,7 @@ class HybridMLP(nn.Module):
             use_t_gate=self.use_t_gate, t_gate_k=self.t_gate_k,
             t_gate_tau=self.t_gate_tau,
             voxel_backend=self.voxel_backend,
+            bn_impl=self.bn_impl,
             island_dtype=self.ctx_island_dtype, name="ctx_net",
         )(x, t, cond_eff if self.cond_dim > 0 else None, train=train)
 

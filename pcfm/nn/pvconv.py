@@ -141,6 +141,10 @@ class PVConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
     voxel_backend: str = "xla"
     sorted_at_res: int = -1
+    # grid-BN implementation (Config.grid_bn); "" falls back to the
+    # module-level BN_IMPL default so probes/tests can still flip the
+    # global — the run's choice is recorded in the checkpointed config
+    bn_impl: str = ""
 
     @nn.compact
     def __call__(self, features, coords, train: bool = True,
@@ -163,9 +167,10 @@ class PVConv(nn.Module):
                            dtype=self.dtype, use_bias=False,
                            kernel_init=nn.initializers.lecun_normal(),
                            name=f"conv3d_{i}")(grid)
-            if BN_IMPL.startswith("flat"):
+            bn_impl = self.bn_impl or BN_IMPL
+            if bn_impl.startswith("flat"):
                 from pcfm.nn.common import FlatBatchNorm
-                bn_dtype = (self.dtype if BN_IMPL == "flat_bf16"
+                bn_dtype = (self.dtype if bn_impl == "flat_bf16"
                             else jnp.float32)
                 grid = FlatBatchNorm(use_running_average=not train,
                                      momentum=0.9, epsilon=1e-4,

@@ -70,15 +70,61 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _data_axis_groups(devices: np.ndarray, axis_names) -> tuple[dict, list]:
+    """Group processes by WHICH data-axis positions their devices occupy.
+
+    Returns (proc -> position-set, ordered distinct position-sets).  Two
+    processes with the same position-set are data-axis REPLICAS (they must
+    feed identical loader batches); distinct position-sets are the data
+    shards.  Raises if the sets overlap without being equal — such a
+    layout cannot be fed by per-process loader batches at all."""
+    ax = list(axis_names).index("data")
+    ndata = devices.shape[ax]
+    rows = np.moveaxis(devices, ax, 0).reshape(ndata, -1)
+    by_proc: dict = {}
+    for i in range(ndata):
+        for d in rows[i]:
+            by_proc.setdefault(d.process_index, set()).add(i)
+    keys = sorted({frozenset(v) for v in by_proc.values()}, key=min)
+    seen: set = set()
+    for k in keys:
+        if seen & k:
+            raise ValueError(
+                "data mesh axis has processes with overlapping but unequal "
+                f"position sets ({[sorted(k) for k in keys]}); rank-sharded "
+                "loading is ill-defined for this device layout")
+        seen |= k
+    return by_proc, keys
+
+
 def data_axis_process_span(mesh: Mesh) -> int:
-    """How many distinct processes the ``data`` mesh axis crosses (1 when
-    the axis lives entirely within each process).  This is the factor by
-    which rank-sharded loader batches concatenate into the global batch:
-    global_B = local_B * span."""
-    ax = mesh.axis_names.index("data")
-    col = np.moveaxis(mesh.devices, ax, 0).reshape(
-        mesh.devices.shape[ax], -1)[:, 0]
-    return len({d.process_index for d in col})
+    """How many distinct data shards the ``data`` mesh axis crosses
+    process boundaries into (1 when every process sees every data-axis
+    position, e.g. the transposed sp-across-hosts layout).  This is the
+    factor by which rank-sharded loader batches concatenate into the
+    global batch: global_B = local_B * span."""
+    _, keys = _data_axis_groups(mesh.devices, mesh.axis_names)
+    return len(keys)
+
+
+def data_axis_shard(mesh: Optional[Mesh]) -> tuple[int, int]:
+    """(shard_index, num_shards) this process's loader must use.
+
+    The DistributedSampler analogue derived from the MESH, not from
+    (process_index, process_count): processes whose devices occupy the
+    same data-axis positions are replicas along data (sp-across-hosts)
+    and must load IDENTICAL batches — so they share a shard index — while
+    processes on distinct positions take distinct dataset shards.  With a
+    data axis that crosses all processes this reduces to the usual
+    (rank, world)."""
+    if mesh is None or jax.process_count() == 1:
+        return 0, 1
+    by_proc, keys = _data_axis_groups(mesh.devices, mesh.axis_names)
+    me = by_proc.get(jax.process_index())
+    if me is None:
+        # this process owns no device on the mesh (not an SPMD participant)
+        return 0, len(keys)
+    return keys.index(frozenset(me)), len(keys)
 
 
 def shard_batch(batch: dict, mesh: Optional[Mesh]) -> dict:

@@ -129,6 +129,8 @@ def build_parser() -> argparse.ArgumentParser:
     flag("--use_bf16", action="store_true", default=d.use_bf16)
     flag("--voxel_backend", type=str, default=d.voxel_backend,
          choices=["auto", "xla", "sorted"])
+    flag("--grid_bn", type=str, default=d.grid_bn,
+         choices=["auto", "flax", "flat", "flat_bf16"])
     flag("--fused_trunk", type=str, default=d.fused_trunk,
          choices=["auto", "on", "off"])
     flag("--pf_film_every", type=int, default=d.pf_film_every,

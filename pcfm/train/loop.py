@@ -70,16 +70,23 @@ def train(cfg: Config, verbose: bool = True) -> dict:
     mesh = make_mesh(dp, sp)
     from pcfm.parallel.sp_context import set_sp_mesh
     set_sp_mesh(mesh)
-    world = jax.process_count()
+    # loader sharding follows the MESH's data axis, not (rank, world):
+    # with sp-across-hosts layouts the data axis does not cross processes
+    # and every rank must feed the IDENTICAL batch (shard_batch presents
+    # per-process batches as one global array — different per-rank data
+    # would silently corrupt it); data_axis_shard collapses replicas onto
+    # one shard index and counts only the distinct data shards
+    from pcfm.parallel.mesh import data_axis_shard
+    d_rank, d_world = data_axis_shard(mesh)
     from pcfm.data.grain_loader import make_loader
     train_loader = make_loader(cfg.loader_backend, tr_ds, cfg.batch_size,
                                shuffle=True, drop_last=True, seed=cfg.seed,
-                               num_workers=cfg.num_workers, rank=rank,
-                               world_size=world)
+                               num_workers=cfg.num_workers, rank=d_rank,
+                               world_size=d_world)
     val_loader = DataLoader(te_ds, cfg.batch_size, shuffle=False,
                             drop_last=False, seed=cfg.seed,
                             num_workers=max(1, cfg.num_workers // 2),
-                            rank=rank, world_size=world)
+                            rank=d_rank, world_size=d_world)
 
     steps_per_epoch = max(1, len(train_loader))
     total_steps = cfg.epochs * steps_per_epoch
@@ -242,7 +249,22 @@ def run_validation(cfg, bundle, state, recon_fn, sample_fn, val_batch, ep,
         rgb_h = _gather(val_batch.get("test_rgb"))
         cond_h = _gather(val_batch.get("cond"))
         dp_size = int(mesh.shape.get("data", 1)) if mesh is not None else 1
-        keep = max(dp_size, pts_h.shape[0] - pts_h.shape[0] % dp_size)
+        real = pts_h.shape[0]          # rows that are actual val clouds
+        if real >= dp_size:
+            keep = real - real % dp_size
+            real = keep
+        else:
+            # gathered batch smaller than the data axis: tile rows up to
+            # dp_size so the global array is constructible; the padded
+            # duplicates are dropped again before dumps/CD
+            keep = dp_size
+            reps = -(-dp_size // pts_h.shape[0])
+
+            def _tile(v):
+                return None if v is None else np.concatenate(
+                    [v] * reps)[:dp_size]
+
+            pts_h, rgb_h, cond_h = _tile(pts_h), _tile(rgb_h), _tile(cond_h)
 
         def _put(v, ndim3: bool):
             # the gathered batch is IDENTICAL on every process, so build
@@ -261,8 +283,8 @@ def run_validation(cfg, bundle, state, recon_fn, sample_fn, val_batch, ep,
         pts = _put(pts_h[:keep], True)
         rgb = _put(rgb_h[:keep] if rgb_h is not None else None, True)
         cond_j = _put(cond_h[:keep] if cond_h is not None else None, False)
-        gt_host = (pts_h[:keep],
-                   rgb_h[:keep] if rgb_h is not None else None)
+        gt_host = (pts_h[:real],
+                   rgb_h[:real] if rgb_h is not None else None)
     else:
         pts = jnp.asarray(val_batch["test_points"], jnp.float32)
         rgb = val_batch.get("test_rgb")
@@ -289,7 +311,8 @@ def run_validation(cfg, bundle, state, recon_fn, sample_fn, val_batch, ep,
         else:
             gt_pts = np.asarray(pts)
             gt_rgb = np.asarray(rgb) if rgb is not None else None
-        rec_np, gen_np = np.asarray(x_rec), np.asarray(x_gen)
+        rec_np = np.asarray(x_rec)[:len(gt_pts)]   # drop tile padding
+        gen_np = np.asarray(x_gen)[:len(gt_pts)]
         dump_clouds(rec_np, gt_pts, gt_rgb,
                     os.path.join(cfg.out_dir, f"samples_recon_ep{ep:04d}"),
                     cfg.vis_count)

@@ -74,6 +74,7 @@ class ModelBundle:
                 pf_emb_dim=cfg.pf_emb_dim, cfg_dropout_p=cfg.cfg_drop_p,
                 dtype=dtype, voxel_backend=resolve_voxel_backend(
                     cfg.voxel_backend),
+                bn_impl=("" if cfg.grid_bn == "auto" else cfg.grid_bn),
                 fused_trunk=cfg.fused_trunk,
                 film_every=cfg.pf_film_every,
                 ctx_island_dtype=(jnp.bfloat16 if cfg.ctx_dtype == "bf16"

@@ -222,6 +222,8 @@ def main():
         print(f"[genq] resumed {RESUME} at epoch {start_ep} "
               f"(gstep {gstep})", flush=True)
     done = False
+    ep = start_ep - 1          # loop may not run (resume of a finished run)
+    last_save_ep = -1
     for ep in range(start_ep, EPOCHS + 1):
         order = npr.permutation(SIZE)[:steps_per_epoch * B]
         color_on = jnp.float32(1.0 if ep > cfg.geom_warmup_epochs else 0.0)
@@ -245,11 +247,12 @@ def main():
             row.update({k: round(float(v), 4) for k, v in suite.items()})
             done = (suite.get("nna_cd", 1.0) <= NNA_TARGET
                     and suite.get("cov_cd", 0.0) >= COV_TARGET)
-            if ep % SAVE_EVERY == 0 or ep == EPOCHS or done:
-                t_sv = time.time()
-                save_state(state, ep, gstep)
-                print(f"[genq] state saved at ep{ep} "
-                      f"({time.time() - t_sv:.0f}s)", flush=True)
+        if ep % SAVE_EVERY == 0 or ep == EPOCHS or done:
+            t_sv = time.time()
+            save_state(state, ep, gstep)
+            last_save_ep = ep
+            print(f"[genq] state saved at ep{ep} "
+                  f"({time.time() - t_sv:.0f}s)", flush=True)
         hist.append(row)
         print(f"[genq] {row}", flush=True)
         with open(os.path.join(OUT, "history.json"), "w") as f:
@@ -260,7 +263,12 @@ def main():
             break
 
     # ---- final protocol (r4): repeated-seed band, CD + EMD variants ----
-    save_state(state, min(ep, EPOCHS), gstep)
+    if last_save_ep != ep:                # budget-break between saves
+        save_state(state, ep, gstep)
+    if not FINAL_SEEDS:
+        print("[genq] FINAL_SEEDS empty — skipping the final protocol",
+              flush=True)
+        return
     print(f"[genq] final band over seeds {FINAL_SEEDS} (cd+emd):",
           flush=True)
     final_rows, final_agg = seed_band(state, FINAL_SEEDS,
@@ -277,7 +285,17 @@ def main():
     if SWEEP:
         from pcfm.train.state import ModelBundle
         sweep_out = []
-        best_g, best_mean = None, final_agg["nna_cd"]["mean"]
+        if SWEEP_SEEDS == FINAL_SEEDS:
+            base_mean = final_agg["nna_cd"]["mean"]
+        else:
+            # selection must be same-protocol: re-band the default
+            # guidance over SWEEP_SEEDS (comparing a SWEEP_SEEDS mean
+            # against the FINAL_SEEDS mean would let ~0.03 protocol noise
+            # pick the winner)
+            _, base_agg = seed_band(state, SWEEP_SEEDS, metrics=("cd",),
+                                    tag=998)
+            base_mean = base_agg["nna_cd"]["mean"]
+        best_g, best_mean = None, base_mean
         for g in SWEEP:
             bundle_g = ModelBundle(dataclasses.replace(
                 cfg, guidance_scale=g))

@@ -203,3 +203,92 @@ def test_sharded_hybrid_matches_single_device():
                     jax.tree_util.tree_leaves(s_mesh.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
                                    atol=1e-4)
+
+
+class _FakeDev:
+    """Minimal device stand-in for layout-only mesh math."""
+
+    def __init__(self, pi):
+        self.process_index = pi
+
+    def __repr__(self):
+        return f"dev(p{self.process_index})"
+
+
+def test_data_axis_groups_layouts():
+    """data_axis_shard's grouping: data-across-procs, sp-across-procs
+    (transposed), and block layouts (loader sharding must follow the MESH,
+    not process_index — different per-rank data on a replicated data axis
+    silently corrupts the global batch)."""
+    import numpy as np
+
+    from pcfm.parallel.mesh import _data_axis_groups
+
+    def groups(devarr):
+        by_proc, keys = _data_axis_groups(np.asarray(devarr), ("data",
+                                                               "points"))
+        return by_proc, keys
+
+    # 2 procs x 2 devs, data across procs: each proc its own shard
+    d = [[_FakeDev(0), _FakeDev(0)], [_FakeDev(1), _FakeDev(1)]]
+    by_proc, keys = groups(d)
+    assert len(keys) == 2
+    assert keys.index(frozenset(by_proc[0])) == 0
+    assert keys.index(frozenset(by_proc[1])) == 1
+
+    # transposed sp-across-procs: every proc sees every data position ->
+    # ONE shard (all ranks replicas; loader rank 0/world 1)
+    d = [[_FakeDev(0), _FakeDev(1)], [_FakeDev(0), _FakeDev(1)]]
+    by_proc, keys = groups(d)
+    assert len(keys) == 1
+    assert frozenset(by_proc[0]) == frozenset(by_proc[1]) == keys[0]
+
+    # 4-position data axis over 2 procs in contiguous blocks: 2 shards
+    d = [[_FakeDev(0)], [_FakeDev(0)], [_FakeDev(1)], [_FakeDev(1)]]
+    _, keys = groups(d)
+    assert len(keys) == 2 and sorted(keys[0]) == [0, 1] \
+        and sorted(keys[1]) == [2, 3]
+
+    # overlapping-but-unequal position sets: ill-defined, must raise
+    d = [[_FakeDev(0), _FakeDev(0)], [_FakeDev(0), _FakeDev(1)]]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        groups(d)
+
+
+def test_data_axis_shard_single_process():
+    """In-process meshes (tests, single host): one shard, rank 0 — the
+    loader yields the full global batch and shard_batch splits it."""
+    from pcfm.parallel.mesh import data_axis_shard, make_mesh
+    mesh = make_mesh(4, 2)
+    assert data_axis_shard(mesh) == (0, 1)
+    assert data_axis_shard(None) == (0, 1)
+
+
+def test_grid_bn_config_plumbs_to_equal_forward():
+    """cfg.grid_bn selects the voxel-grid BN impl through the whole
+    HybridMLP stack; flax/flat produce identical fp32 forwards (the
+    param/stat trees are equal by construction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcfm.config import Config
+    from pcfm.train.state import init_state
+
+    outs = {}
+    for impl in ("flax", "flat"):
+        cfg = Config(pf_backbone="hybrid", grid_bn=impl, latent_dim=8,
+                     pf_width=16, pf_depth=2, pf_emb_dim=8, ctx_dim=8,
+                     ctx_emb_dim=8, ctx_stage_res=[4], ctx_stage_channels=[8],
+                     ctx_stage_blocks=[1], cond_dim=0, has_rgb=False,
+                     amp=False, use_bf16=False, tr_max_sample_points=32,
+                     batch_size=2, ctx_dtype="fp32")
+        bundle, state, _ = init_state(cfg, jax.random.PRNGKey(0),
+                                      total_steps=10)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 3))
+        t = jnp.full((2,), 0.5)
+        v = bundle.pf.apply({"params": state.params["pf"],
+                             "batch_stats": state.batch_stats["pf"]},
+                            x, t, None, train=False)
+        outs[impl] = v
+    assert jnp.allclose(outs["flax"], outs["flat"], atol=1e-6)
