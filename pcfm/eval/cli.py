@@ -39,6 +39,12 @@ def main(argv: Optional[Sequence[str]] = None):
                    help="suite mode: clouds per set (0 = whole test set)")
     p.add_argument("--suite_emd", action="store_true",
                    help="suite mode: also compute MMD/COV/1-NNA under EMD")
+    p.add_argument("--suite_seeds", type=str, default="",
+                   help="suite mode: comma-separated PRNG seeds; with >1 "
+                        "the suite is resampled per seed and reported as a "
+                        "per-metric mean/min/max band (the 1-NNA run-to-run "
+                        "spread is ~the size of typical deltas — "
+                        "ROADMAP #20); empty = single pass at --seed")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--max_batches", type=int, default=0,
                    help="0 = whole test set")
@@ -72,30 +78,55 @@ def main(argv: Optional[Sequence[str]] = None):
         # set-level generative metrics: sample one generated cloud per test
         # cloud (same conds) and run the MMD/COV/1-NNA protocol
         from pcfm.eval.metrics import generative_metrics
-        refs, gens = [], []
-        for bi, batch in enumerate(loader.epoch_batches(0)):
-            if args.max_batches and bi >= args.max_batches:
-                break
-            pts = jnp.asarray(batch["test_points"], jnp.float32)
-            cond = batch.get("cond")
-            cond = jnp.asarray(cond, jnp.float32) if cond is not None \
-                else None
-            true_b = pts.shape[0]
-            key, k1 = jax.random.split(key)
-            x = sample_fn(state, pad_batch(cond, cfg.batch_size), k1,
-                          cfg.batch_size, pts.shape[1])
-            refs.append(np.asarray(pts))
-            gens.append(np.asarray(x)[:true_b, :, :3])
-            if args.suite_size and sum(r.shape[0] for r in refs) >= \
-                    args.suite_size:
-                break
-        ref = np.concatenate(refs)[:args.suite_size or None]
-        gen = np.concatenate(gens)[:args.suite_size or None]
-        suite = generative_metrics(
-            gen, ref, metrics=("cd", "emd") if args.suite_emd else ("cd",))
+        metrics = ("cd", "emd") if args.suite_emd else ("cd",)
+
+        def run_suite(seed: int):
+            key = jax.random.PRNGKey(seed)
+            refs, gens = [], []
+            for bi, batch in enumerate(loader.epoch_batches(0)):
+                if args.max_batches and bi >= args.max_batches:
+                    break
+                pts = jnp.asarray(batch["test_points"], jnp.float32)
+                cond = batch.get("cond")
+                cond = jnp.asarray(cond, jnp.float32) if cond is not None \
+                    else None
+                true_b = pts.shape[0]
+                k1 = jax.random.fold_in(key, bi)
+                x = sample_fn(state, pad_batch(cond, cfg.batch_size),
+                              k1, cfg.batch_size, pts.shape[1])
+                refs.append(np.asarray(pts))
+                gens.append(np.asarray(x)[:true_b, :, :3])
+                if args.suite_size and sum(r.shape[0] for r in refs) >= \
+                        args.suite_size:
+                    break
+            ref = np.concatenate(refs)[:args.suite_size or None]
+            gen = np.concatenate(gens)[:args.suite_size or None]
+            return ref.shape[0], generative_metrics(gen, ref,
+                                                    metrics=metrics)
+
+        seeds = [int(s) for s in args.suite_seeds.split(",") if s.strip()]
         out = {"epoch": ep, "sampler": cfg.sampler,
-               "steps": cfg.sample_steps, "n_clouds": int(ref.shape[0]),
-               **{k: round(v, 6) for k, v in suite.items()}}
+               "steps": cfg.sample_steps}
+        if len(seeds) <= 1:
+            n_clouds, suite = run_suite(seeds[0] if seeds else args.seed)
+            out.update(n_clouds=n_clouds,
+                       **{k: round(v, 6) for k, v in suite.items()})
+        else:
+            # repeated-seed band (r4 protocol): same reference set, fresh
+            # generation per seed; report mean/min/max per metric
+            rows = []
+            for s in seeds:
+                n_clouds, suite = run_suite(s)
+                rows.append({k: float(v) for k, v in suite.items()})
+            out["n_clouds"] = n_clouds
+            out["seeds"] = seeds
+            out["per_seed"] = [{k: round(v, 6) for k, v in r.items()}
+                               for r in rows]
+            for k in rows[0]:
+                vals = [r[k] for r in rows]
+                out[k] = {"mean": round(float(np.mean(vals)), 6),
+                          "min": round(float(np.min(vals)), 6),
+                          "max": round(float(np.max(vals)), 6)}
         print(json.dumps(out))
         return out
 

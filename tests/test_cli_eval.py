@@ -121,3 +121,25 @@ def test_recon_without_ema(trained_run):
     x = recon(state, pts, rgb, cond, jax.random.PRNGKey(3))
     assert x.shape == (2, 32, cfg.pf_point_dim)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_eval_cli_suite_seed_band(trained_run):
+    """--suite_seeds with >1 seed: per-seed rows + mean/min/max band per
+    metric (r4 protocol — the 1-NNA spread is the size of typical deltas);
+    single seed keeps the scalar output shape."""
+    from pcfm.eval.cli import main
+    out = main(["--out_dir", trained_run, "--mode", "suite",
+                "--max_batches", "1", "--sample_steps", "2",
+                "--suite_seeds", "11,22", "--suite_emd"])
+    assert out["seeds"] == [11, 22] and len(out["per_seed"]) == 2
+    for k in ("nna_cd", "cov_cd", "mmd_cd", "nna_emd"):
+        band = out[k]
+        assert band["min"] <= band["mean"] <= band["max"]
+    # same seed twice -> identical suites (deterministic per-batch fold_in)
+    assert out["per_seed"][0] != {} \
+        and np.isfinite(out["per_seed"][0]["nna_cd"])
+    single = main(["--out_dir", trained_run, "--mode", "suite",
+                   "--max_batches", "1", "--sample_steps", "2",
+                   "--suite_seeds", "11"])
+    assert isinstance(single["nna_cd"], float)
+    assert abs(single["nna_cd"] - out["per_seed"][0]["nna_cd"]) < 1e-9
