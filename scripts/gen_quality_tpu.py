@@ -263,7 +263,10 @@ def main():
             break
 
     # ---- final protocol (r4): repeated-seed band, CD + EMD variants ----
-    if last_save_ep != ep:                # budget-break between saves
+    if ep >= start_ep and last_save_ep != ep:   # budget-break between saves
+        # (ep < start_ep means a resume of a FINISHED run — eval-only
+        # re-band, e.g. a post-hoc sample_steps/guidance sweep; nothing
+        # new to save, and the save is a 700-1400 s state readback)
         save_state(state, ep, gstep)
     if not FINAL_SEEDS:
         print("[genq] FINAL_SEEDS empty — skipping the final protocol",

@@ -106,6 +106,23 @@ def test_genq_resume_extends_history(toy_run, tmp_path):
     assert np.isfinite(hist[2]["nna_cd"])
 
 
+def test_genq_resume_of_finished_run_is_eval_only(toy_run, tmp_path):
+    """RESUME with EPOCHS == saved epoch trains nothing and re-runs just
+    the final protocol (post-hoc sampler/guidance re-band on a trained
+    state) — no state re-save, fresh final_suite.json in the new OUT."""
+    out4 = str(tmp_path / "evalonly")
+    _run_harness({**_TOY_ENV, "OUT": out4, "FINAL_SEEDS": "9",
+                  "SWEEP_SEEDS": "9", "SAMPLE_STEPS": "4",
+                  "RESUME": os.path.join(toy_run, "state_latest.pkl")},
+                 "evalonly")
+    # nothing trained: no history rows, no state pickle written to OUT
+    assert not os.path.exists(os.path.join(out4, "state_latest.pkl"))
+    final = json.load(open(os.path.join(out4, "final_suite.json")))
+    assert final["protocol"]["seeds"] == [9]
+    assert final["protocol"]["sample_steps"] == 4
+    assert np.isfinite(final["default"]["nna_cd"]["mean"])
+
+
 def test_genq_resume_rejects_config_mismatch(toy_run, tmp_path):
     out3 = str(tmp_path / "badresume")
     with pytest.raises(ValueError, match="resume shape mismatch"):
