@@ -107,6 +107,9 @@ def build_parser() -> argparse.ArgumentParser:
     flag("--sampler", type=str, default=d.sampler,
          choices=["euler", "midpoint", "heun", "rk4", "dopri5"])
     flag("--guidance_scale", type=float, default=d.guidance_scale)
+    flag("--eval_oversample", type=float, default=d.eval_oversample,
+         help="eval-time density recipe: sample ceil(k*N) points, "
+              "FPS-subsample to N (1.0 = off)")
     flag("--ema_decay", type=float, default=d.ema_decay)
     flag("--ema_eval", action="store_true", default=d.ema_eval)
 

@@ -47,6 +47,11 @@ BUDGET_S = float(os.environ.get("BUDGET_S", 1500))
 # model and report the best suite alongside the train-time setting.
 SWEEP = [float(g) for g in os.environ.get(
     "GUIDANCE_SWEEP", "").split(",") if g.strip()]
+# r4 recipe sweep (ROADMAP "next lever: sampling recipe"): JSON list of
+# {"guidance": g?, "steps": s?, "oversample": k?} dicts — each is an
+# eval-time knob triple evaluated as a seed band on the trained state.
+# GUIDANCE_SWEEP entries are folded in as guidance-only recipes.
+RECIPES = json.loads(os.environ.get("RECIPES", "[]"))
 # in-loop early-stop thresholds (defaults = the r3 stricter-than-report
 # targets; push lower for longer runs)
 NNA_TARGET = float(os.environ.get("NNA_TARGET", 0.70))
@@ -263,10 +268,13 @@ def main():
             break
 
     # ---- final protocol (r4): repeated-seed band, CD + EMD variants ----
-    if ep >= start_ep and last_save_ep != ep:   # budget-break between saves
-        # (ep < start_ep means a resume of a FINISHED run — eval-only
-        # re-band, e.g. a post-hoc sample_steps/guidance sweep; nothing
-        # new to save, and the save is a 700-1400 s state readback)
+    if (ep >= start_ep and last_save_ep != ep
+            and os.environ.get("FINAL_SAVE", "1") != "0"):
+        # budget-break between saves.  (ep < start_ep means a resume of a
+        # FINISHED run — eval-only re-band, e.g. a post-hoc
+        # sample_steps/guidance sweep; nothing new to save, and the save
+        # is a 700-1400 s state readback.  FINAL_SAVE=0 opts a short
+        # probe run out of the readback entirely.)
         save_state(state, ep, gstep)
     if not FINAL_SEEDS:
         print("[genq] FINAL_SEEDS empty — skipping the final protocol",
@@ -285,44 +293,56 @@ def main():
                            "sample_steps": cfg.sample_steps,
                            "guidance": cfg.guidance_scale},
               "default": final_agg, "default_per_seed": final_rows}
-    if SWEEP:
+    recipes = ([{"guidance": g} for g in SWEEP] + list(RECIPES))
+    if recipes:
         from pcfm.train.state import ModelBundle
+
+        def recipe_bundle(r):
+            return ModelBundle(dataclasses.replace(
+                cfg,
+                guidance_scale=float(r.get("guidance", cfg.guidance_scale)),
+                sample_steps=int(r.get("steps", cfg.sample_steps)),
+                eval_oversample=float(r.get("oversample", 1.0))))
+
         sweep_out = []
         if SWEEP_SEEDS == FINAL_SEEDS:
             base_mean = final_agg["nna_cd"]["mean"]
         else:
             # selection must be same-protocol: re-band the default
-            # guidance over SWEEP_SEEDS (comparing a SWEEP_SEEDS mean
+            # recipe over SWEEP_SEEDS (comparing a SWEEP_SEEDS mean
             # against the FINAL_SEEDS mean would let ~0.03 protocol noise
             # pick the winner)
             _, base_agg = seed_band(state, SWEEP_SEEDS, metrics=("cd",),
                                     tag=998)
             base_mean = base_agg["nna_cd"]["mean"]
-        best_g, best_mean = None, base_mean
-        for g in SWEEP:
-            bundle_g = ModelBundle(dataclasses.replace(
-                cfg, guidance_scale=g))
-            sample_g = make_sample_fn(bundle_g)
-            rows_g, agg_g = seed_band(state, SWEEP_SEEDS, sample_fn=sample_g,
-                                      metrics=("cd",), tag=int(g * 10) + 1)
-            sweep_out.append({"guidance": g, "agg": agg_g,
-                              "per_seed": rows_g})
-            print(f"[genq] sweep g={g}: {agg_g}", flush=True)
-            if agg_g["nna_cd"]["mean"] < best_mean:
-                best_g, best_mean = g, agg_g["nna_cd"]["mean"]
+        best_r, best_mean = None, base_mean
+        for i, r in enumerate(recipes):
+            sample_r = make_sample_fn(recipe_bundle(r))
+            # cd+emd per recipe: the density recipe targets the EMD gap
+            rows_r, agg_r = seed_band(state, SWEEP_SEEDS, sample_fn=sample_r,
+                                      metrics=("cd", "emd"), tag=i + 1)
+            sweep_out.append({"recipe": r, "agg": agg_r,
+                              "per_seed": rows_r})
+            print(f"[genq] sweep {r}: {agg_r}", flush=True)
+            if agg_r["nna_cd"]["mean"] < best_mean:
+                best_r, best_mean = r, agg_r["nna_cd"]["mean"]
         with open(os.path.join(OUT, "guidance_sweep.json"), "w") as f:
             json.dump(sweep_out, f, indent=1)
-        if best_g is not None:
-            # full cd+emd band at the winning guidance
-            bundle_b = ModelBundle(dataclasses.replace(
-                cfg, guidance_scale=best_g))
-            sample_b = make_sample_fn(bundle_b)
+        if sweep_out:
+            by_emd = min(sweep_out, key=lambda e: e["agg"]["nna_emd"]["mean"])
+            result.update({"best_emd_recipe": by_emd["recipe"],
+                           "best_emd_agg": by_emd["agg"]})
+        if best_r is not None:
+            # full cd+emd band at the winning recipe over FINAL_SEEDS
+            sample_b = make_sample_fn(recipe_bundle(best_r))
             rows_b, agg_b = seed_band(state, FINAL_SEEDS,
                                       sample_fn=sample_b,
                                       metrics=("cd", "emd"), tag=999)
-            result.update({"best_guidance": best_g, "best": agg_b,
-                           "best_per_seed": rows_b})
-            print(f"[genq] best band (g={best_g}): {agg_b}", flush=True)
+            result.update({"best_recipe": best_r,
+                           "best_guidance": best_r.get("guidance",
+                                                       cfg.guidance_scale),
+                           "best": agg_b, "best_per_seed": rows_b})
+            print(f"[genq] best band ({best_r}): {agg_b}", flush=True)
             gen, _ = run_suite(state, 900_000 + FINAL_SEEDS[0],
                                sample_fn=sample_b)
             np.save(os.path.join(OUT, "gen_final.npy"), gen)

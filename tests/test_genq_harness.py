@@ -113,6 +113,8 @@ def test_genq_resume_of_finished_run_is_eval_only(toy_run, tmp_path):
     out4 = str(tmp_path / "evalonly")
     _run_harness({**_TOY_ENV, "OUT": out4, "FINAL_SEEDS": "9",
                   "SWEEP_SEEDS": "9", "SAMPLE_STEPS": "4",
+                  "RECIPES": '[{"guidance": 0.5, "steps": 3, '
+                             '"oversample": 2.0}]',
                   "RESUME": os.path.join(toy_run, "state_latest.pkl")},
                  "evalonly")
     # nothing trained: no history rows, no state pickle written to OUT
@@ -121,6 +123,12 @@ def test_genq_resume_of_finished_run_is_eval_only(toy_run, tmp_path):
     assert final["protocol"]["seeds"] == [9]
     assert final["protocol"]["sample_steps"] == 4
     assert np.isfinite(final["default"]["nna_cd"]["mean"])
+    # r4 recipe sweep: every recipe banded with cd+emd, best-by-EMD kept
+    sweep = json.load(open(os.path.join(out4, "guidance_sweep.json")))
+    assert sweep[0]["recipe"] == {"guidance": 0.5, "steps": 3,
+                                  "oversample": 2.0}
+    assert np.isfinite(sweep[0]["agg"]["nna_emd"]["mean"])
+    assert final["best_emd_recipe"] == sweep[0]["recipe"]
 
 
 def test_genq_resume_rejects_config_mismatch(toy_run, tmp_path):

@@ -368,3 +368,33 @@ def test_zero_batch_epoch_clear_error(tmp_path):
                  out_dir=str(tmp_path), num_workers=0, save_every=100)
     with pytest.raises(ValueError, match="batch_size"):
         train(cfg, verbose=False)
+
+
+def test_eval_oversample_density_recipe():
+    """cfg.eval_oversample=k integrates ceil(k*N) points through the point
+    flow and FPS-subsamples back to N (density-uniformizing eval recipe;
+    the EMD suite metrics penalize local density mismatch).  Contract:
+    same output shape, deterministic under a fixed key, and the kept
+    points have a larger minimum pairwise spacing than an un-resampled
+    generation of the same size (FPS's defining property)."""
+    from pcfm.train.evaluate import make_sample_fn
+    from pcfm.train.state import ModelBundle
+    cfg = tiny_cfg(sample_steps=2)
+    bundle, state, _ = init_state(cfg, jax.random.PRNGKey(0), 10)
+    base = make_sample_fn(bundle)
+    over = make_sample_fn(ModelBundle(cfg.replace(eval_oversample=2.0)))
+    key = jax.random.PRNGKey(3)
+    x1 = np.asarray(base(state, None, key, 2, 64))
+    x2 = np.asarray(over(state, None, key, 2, 64))
+    x2b = np.asarray(over(state, None, key, 2, 64))
+    assert x1.shape == x2.shape == (2, 64, 3)
+    assert np.isfinite(x2).all()
+    np.testing.assert_array_equal(x2, x2b)
+
+    def min_nn(x):  # per-cloud min nearest-neighbor distance, averaged
+        d = np.linalg.norm(x[:, :, None] - x[:, None], axis=-1)
+        d += np.eye(x.shape[1])[None] * 1e9
+        return float(np.mean(d.min(axis=-1)))
+
+    # FPS keeps the spread-out subset: mean NN spacing must not shrink
+    assert min_nn(x2) >= 0.9 * min_nn(x1)
