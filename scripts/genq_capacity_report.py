@@ -85,8 +85,15 @@ def main():
         s = _load(sw)
         if not s:
             continue
-        if isinstance(s, list) and s and "agg" in s[0]:  # r4 schema
-            rows = ", ".join(f"g={r['guidance']}: "
+        if isinstance(s, list) and s and "agg" in s[0]:  # r4 schemas
+            # guidance-only entries carry "guidance"; the late-r4 recipe
+            # sweep carries a "recipe" dict (guidance/steps/oversample)
+            def _tag(r):
+                if "recipe" in r:
+                    return ",".join(f"{k[0]}={v}"
+                                    for k, v in r["recipe"].items())
+                return f"g={r['guidance']}"
+            rows = ", ".join(f"{_tag(r)}: "
                              f"{r['agg']['nna_cd']['mean']:.3f}"
                              for r in s)
         else:
