@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
     flag("--weight_decay", type=float, default=d.weight_decay)
     flag("--grad_clip_norm", type=float, default=d.grad_clip_norm)
     flag("--t_beta_a", type=float, default=d.t_beta_a)
+    flag("--fm_coupling", type=str, default=d.fm_coupling,
+         choices=["indep", "sliced_ot"],
+         help="prior->data pairing: indep (reference) | sliced_ot "
+              "(rank-pair along a random direction per step; "
+              "density-aware, dp-only meshes)")
     flag("--geom_warmup_epochs", type=int, default=d.geom_warmup_epochs)
     flag("--cfg_drop_warmup_epochs", type=int,
          default=d.cfg_drop_warmup_epochs)

@@ -30,6 +30,23 @@ def mse(a, b):
     return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
 
 
+def sliced_ot_permutation(key, data_xyz, prior_xyz):
+    """(B,N) permutation pairing prior to data points by rank along one
+    random direction — the exact 1-D OT (monotone rearrangement) in the
+    projected space; a fresh direction per step makes it sliced OT in
+    expectation.  Returns perm with new_prior[i] = prior[perm[i]] paired
+    to data[i]; applying it permutes the prior's points (marginal
+    unchanged), only the FM coupling tightens."""
+    u = jax.random.normal(key, (3,))
+    u = u / jnp.maximum(jnp.linalg.norm(u), 1e-6)
+    rank_d = jnp.argsort(jnp.einsum("bnd,d->bn", data_xyz, u), axis=1)
+    rank_p = jnp.argsort(jnp.einsum("bnd,d->bn", prior_xyz, u), axis=1)
+    # the k-th ranked prior point lands at the k-th ranked data slot:
+    # new_prior[rank_d[k]] = prior[rank_p[k]] => perm[i] = rank_p[inv_d[i]]
+    inv_d = jnp.argsort(rank_d, axis=1)
+    return jnp.take_along_axis(rank_p, inv_d, axis=1)
+
+
 def fm_interpolate(key_t, x1, z0, t_beta_a: float):
     """t ~ Beta(a, 1) skewed toward 1; x_t and target velocity."""
     b = x1.shape[0]
@@ -72,6 +89,14 @@ def train_step(bundle: ModelBundle, tx, state: TrainState,
     else:
         data_pf = pts
         z_pts = jax.random.normal(k_prior, pts.shape) * cfg.point_prior_std
+
+    if cfg.fm_coupling == "sliced_ot":
+        # density-aware minibatch coupling (see sliced_ot_permutation).
+        # NOTE: under sequence parallelism the point-axis argsort forces
+        # XLA to gather the point axis; use on dp-only meshes.
+        perm = sliced_ot_permutation(jax.random.fold_in(k_prior, 1),
+                                     pts, z_pts[..., :3])
+        z_pts = jnp.take_along_axis(z_pts, perm[..., None], axis=1)
 
     t_pts, x_t, target_v = fm_interpolate(k_t, data_pf, z_pts, cfg.t_beta_a)
 

@@ -398,3 +398,41 @@ def test_eval_oversample_density_recipe():
 
     # FPS keeps the spread-out subset: mean NN spacing must not shrink
     assert min_nn(x2) >= 0.9 * min_nn(x1)
+
+
+def test_sliced_ot_permutation_properties():
+    """The coupling is a true per-cloud permutation (marginal preserved)
+    and reduces the expected pair distance vs independent pairing (the
+    1-D monotone rearrangement is the projected-space OT optimum)."""
+    from pcfm.train.step import sliced_ot_permutation
+    key = jax.random.PRNGKey(0)
+    kd, kp, ku = jax.random.split(key, 3)
+    data = jax.random.normal(kd, (4, 256, 3))
+    prior = jax.random.normal(kp, (4, 256, 3))
+    perm = np.asarray(sliced_ot_permutation(ku, data, prior))
+    for b in range(4):
+        assert sorted(perm[b].tolist()) == list(range(256))
+    matched = np.take_along_axis(np.asarray(prior), perm[..., None], axis=1)
+    d_matched = float(np.mean(np.sum(
+        (np.asarray(data) - matched) ** 2, -1)))
+    d_indep = float(np.mean(np.sum(
+        (np.asarray(data) - np.asarray(prior)) ** 2, -1)))
+    assert d_matched < d_indep
+
+
+def test_fm_coupling_sliced_ot_trains():
+    """fm_coupling=sliced_ot: the step runs, loss is finite and decreases
+    over a few hundred tiny steps (same contract as the indep tiny run)."""
+    cfg = tiny_cfg(fm_coupling="sliced_ot")
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.normal(key, (4, 64, 3))
+    bundle, state, tx = init_state(cfg, jax.random.PRNGKey(1), 300)
+    step = make_train_step(bundle, tx, donate=False)
+    first = last = None
+    for i in range(300):
+        state, m = step(state, {"pts": pts}, jax.random.fold_in(key, i),
+                        jnp.float32(1.0), jnp.float32(0.0))
+        if i == 0:
+            first = float(m["loss"])
+        last = float(m["loss"])
+    assert np.isfinite(last) and last < first
