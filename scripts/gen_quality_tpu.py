@@ -293,6 +293,11 @@ def main():
                            "sample_steps": cfg.sample_steps,
                            "guidance": cfg.guidance_scale},
               "default": final_agg, "default_per_seed": final_rows}
+    # write-as-you-go: each suite band is minutes of chip time, and a
+    # session death between bands must not lose the completed ones
+    # (run8's first attempt lost its whole sweep to a machine reset)
+    with open(os.path.join(OUT, "final_suite.json"), "w") as f:
+        json.dump(result, f, indent=1)
     recipes = ([{"guidance": g} for g in SWEEP] + list(RECIPES))
     if recipes:
         from pcfm.train.state import ModelBundle
@@ -324,10 +329,10 @@ def main():
             sweep_out.append({"recipe": r, "agg": agg_r,
                               "per_seed": rows_r})
             print(f"[genq] sweep {r}: {agg_r}", flush=True)
+            with open(os.path.join(OUT, "guidance_sweep.json"), "w") as f:
+                json.dump(sweep_out, f, indent=1)   # incremental
             if agg_r["nna_cd"]["mean"] < best_mean:
                 best_r, best_mean = r, agg_r["nna_cd"]["mean"]
-        with open(os.path.join(OUT, "guidance_sweep.json"), "w") as f:
-            json.dump(sweep_out, f, indent=1)
         if sweep_out:
             by_emd = min(sweep_out, key=lambda e: e["agg"]["nna_emd"]["mean"])
             result.update({"best_emd_recipe": by_emd["recipe"],
