@@ -6,6 +6,7 @@ set, optionally sharded across devices on the batch axis.
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, Iterable, Optional
 
 import jax
@@ -83,6 +84,46 @@ def aggregate(metric_batches: Iterable[Dict[str, jax.Array]]) -> Dict[str, float
 # reference repo only ever reports paired CD on a fixed val batch.)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _matrix_fn(metric: str):
+    """Jitted full-matrix builder for one distance metric.
+
+    Module-level cache: the per-call closures of the old formulation each
+    carried their own jit cache (recompile per suite eval), and — far
+    worse over the axon dev tunnel — its per-(row, block) host readbacks
+    cost ~65 ms of round-trip latency each: a 192-cloud suite issued
+    ~14k of them across its three matrices (~10-15 min of pure latency,
+    the dominant cost of every gen-quality run 4-7).  One lax.map'd
+    device call + ONE readback per matrix replaces them; the per-pair
+    math is unchanged.
+    """
+    if metric == "cd":
+        def pair_block_fn(x, ys):
+            xs = jnp.broadcast_to(x[None], (ys.shape[0],) + x.shape)
+            d1, d2, _, _ = chamfer_distance(xs, ys)
+            return jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)
+    elif metric == "emd":
+        from pcfm.ops.emd import earth_mover_distance
+
+        def pair_block_fn(x, ys):
+            xs = jnp.broadcast_to(x[None], (ys.shape[0],) + x.shape)
+            return earth_mover_distance(xs, ys)
+    else:
+        raise ValueError(f"unknown metric '{metric}'")
+
+    @jax.jit
+    def all_rows(a, bblk):
+        # bblk (nblk, pair_block, M, 3); sequential maps bound live memory
+        # to one (pair_block, N, M) distance block while the TPU stays
+        # busy inside a single dispatch
+        def row(x):
+            return jax.lax.map(lambda ys: pair_block_fn(x, ys),
+                               bblk).reshape(-1)
+        return jax.lax.map(row, a)
+
+    return all_rows
+
+
 def cd_matrix(a: jax.Array, b: jax.Array, pair_block: int = 8,
               metric: str = "cd") -> np.ndarray:
     """Pairwise cloud-distance matrix between sets.
@@ -95,33 +136,13 @@ def cd_matrix(a: jax.Array, b: jax.Array, pair_block: int = 8,
     a = jnp.asarray(a[..., :3], jnp.float32)
     b = jnp.asarray(b[..., :3], jnp.float32)
     ga, gb = a.shape[0], b.shape[0]
-
-    if metric == "cd":
-        @jax.jit
-        def one_row(x, ys):
-            xs = jnp.broadcast_to(x[None], (ys.shape[0],) + x.shape)
-            d1, d2, _, _ = chamfer_distance(xs, ys)
-            return jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)
-    elif metric == "emd":
-        from pcfm.ops.emd import earth_mover_distance
-
-        @jax.jit
-        def one_row(x, ys):
-            xs = jnp.broadcast_to(x[None], (ys.shape[0],) + x.shape)
-            return earth_mover_distance(xs, ys)
-    else:
-        raise ValueError(f"unknown metric '{metric}'")
-
-    out = np.zeros((ga, gb), np.float64)
     pad = (-gb) % pair_block
     bp = jnp.concatenate([b, jnp.broadcast_to(b[-1:],
                                               (pad,) + b.shape[1:])]) \
         if pad else b
-    for i in range(ga):
-        rows = [one_row(a[i], bp[j:j + pair_block])
-                for j in range(0, bp.shape[0], pair_block)]
-        out[i] = np.concatenate([np.asarray(r) for r in rows])[:gb]
-    return out
+    bblk = bp.reshape(bp.shape[0] // pair_block, pair_block, *b.shape[1:])
+    rows = _matrix_fn(metric)(a, bblk)            # one device call
+    return np.asarray(rows)[:, :gb].astype(np.float64)
 
 
 def generative_metrics(gen: jax.Array, ref: jax.Array,
