@@ -65,6 +65,29 @@ def test_eval_cli_suite_mode(tmp_path):
     assert 0.0 <= res["cov_cd"] <= 1.0 and 0.0 <= res["nna_cd"] <= 1.0
 
 
+def test_cd_matrix_matches_per_pair():
+    """The batched lax.map matrix (one device call, r4) must equal the
+    per-pair computation — rectangular sets + a gb not divisible by
+    pair_block exercise the padding path."""
+    from pcfm.ops.chamfer import chamfer_distance
+    from pcfm.ops.emd import earth_mover_distance
+    import jax.numpy as jnp
+    a = _clouds(jax.random.PRNGKey(6), 4, n=48)
+    b = _clouds(jax.random.PRNGKey(7), 5, n=48)   # 5 % pair_block(3) != 0
+    for metric in ("cd", "emd"):
+        got = cd_matrix(a, b, pair_block=3, metric=metric)
+        for i in range(4):
+            for j in range(5):
+                x = jnp.asarray(a[i:i + 1], jnp.float32)
+                y = jnp.asarray(b[j:j + 1], jnp.float32)
+                if metric == "cd":
+                    d1, d2, _, _ = chamfer_distance(x, y)
+                    want = float(jnp.mean(d1) + jnp.mean(d2))
+                else:
+                    want = float(earth_mover_distance(x, y)[0])
+                assert got[i, j] == pytest.approx(want, rel=2e-5, abs=2e-5)
+
+
 def test_suite_emd_metric():
     """metrics=("cd","emd"): identical sets indistinguishable under both;
     a shifted set detected under both."""
