@@ -103,6 +103,12 @@ class Config:
 
     # ========== Sampling / CFG / EMA ==========
     sample_steps: int = 50
+    # eval-time latent-flow NFE override (0 = sample_steps).  The latent
+    # flow is a 64-dim ODE — its integration error is a DIVERSITY knob
+    # (the z distribution feeding the point flow), decoupled here from the
+    # point flow's step count so the two can be swept independently
+    # (beyond-reference; the reference shares one step count).
+    latent_sample_steps: int = 0
     sampler: str = "heun"                 # euler | midpoint | heun | rk4 | dopri5
     guidance_scale: float = 0.0
     # density-uniformizing eval recipe (beyond-reference, opt-in): sample
@@ -118,6 +124,16 @@ class Config:
     lambda_point: float = 1.0
     lambda_latent: float = 1.0
     lambda_color: float = 1.0
+    # density-aware endpoint-EMD loss (beyond-reference, opt-in — r5,
+    # aimed at the EMD-variant suite gap): approxmatch EMD between the
+    # one-step endpoint extrapolation x1_hat = x_t + (1-t) v_pred and the
+    # data cloud, backpropagated through the ANALYTIC matchcostgrad VJP
+    # (pcfm/ops/emd.py; the reference treats EMD as eval-only).  MSE sees
+    # points index-paired to the prior; EMD sees the cloud as a measure —
+    # it penalizes exactly the local point-density mismatch the 1-NNA-EMD
+    # metric exposes.  Typical use: a short fine-tune phase on a trained
+    # state (lambda_emd 0.1-1.0).
+    lambda_emd: float = 0.0
     # documented-but-unregistered reference flags, wired here:
     lambda_pair: float = 0.0
     lambda_var: float = 0.0

@@ -49,18 +49,23 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--max_batches", type=int, default=0,
                    help="0 = whole test set")
     p.add_argument("--sample_steps", type=int, default=None)
+    p.add_argument("--latent_sample_steps", type=int, default=None,
+                   help="latent-flow NFE override (0 = sample_steps)")
     p.add_argument("--sampler", type=str, default=None)
     p.add_argument("--guidance_scale", type=float, default=None)
     p.add_argument("--eval_oversample", type=float, default=None,
                    help="density recipe: sample ceil(k*N) points per cloud "
                         "and FPS-subsample to N (1.0 = off)")
+    p.add_argument("--latent_prior_std", type=float, default=None,
+                   help="latent prior std override (diversity knob)")
     p.add_argument("--emd_max_points", type=int, default=4096)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     over = {k: getattr(args, k) for k in
-            ("data_dir", "batch_size", "sample_steps", "sampler",
-             "guidance_scale", "eval_oversample")}
+            ("data_dir", "batch_size", "sample_steps", "latent_sample_steps",
+             "sampler", "guidance_scale", "eval_oversample",
+             "latent_prior_std")}
     cfg, bundle, state, ep = load_run(args.out_dir, over)
     # eval_only: keep the restored run's recorded cond_dim/has_rgb
     # authoritative (the model's input widths are fixed by the restored

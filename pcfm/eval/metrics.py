@@ -17,6 +17,7 @@ from pcfm.ops.chamfer import chamfer_distance, fscore
 from pcfm.ops.emd import earth_mover_distance, earth_mover_distance_streamed
 
 
+@functools.lru_cache(maxsize=None)
 def _pick_chunk(n: int, m: int, target: int = 2048) -> int:
     """Largest common divisor chunk of (n, m) not exceeding target."""
     best = 1
@@ -52,8 +53,16 @@ def cloud_metrics(pred: jax.Array, gt: jax.Array,
             emd = earth_mover_distance_streamed(pxyz, gxyz, chunk=chunk)
             return {"cd": cd, "emd": emd, "fscore": f,
                     "precision": p1, "recall": p2}
-        # awkward sizes: fall back to random subsampling
-        key = jax.random.PRNGKey(0) if key is None else key
+        # awkward sizes: fall back to random subsampling.  Default key is
+        # derived from the cloud bits — deterministic (same inputs -> same
+        # subsample, reproducible evals) but de-correlated across inputs
+        # (a fixed PRNGKey(0) made every keyless caller subsample the
+        # same point indices, coupling their EMD estimates).
+        if key is None:
+            mix = jax.lax.bitcast_convert_type(
+                (jnp.sum(pxyz[:, 0]) + jnp.sum(gxyz[:, 0]))
+                .astype(jnp.float32), jnp.int32)
+            key = jax.random.fold_in(jax.random.PRNGKey(0), mix)
         k1, k2 = jax.random.split(key)
         if n > emd_max_points:
             idx = jax.random.choice(k1, n, (emd_max_points,), replace=False)

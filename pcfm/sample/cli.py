@@ -46,20 +46,24 @@ def main(argv: Optional[Sequence[str]] = None):
     p.add_argument("--num_samples", type=int, default=8)
     p.add_argument("--n_points", type=int, default=2048)
     p.add_argument("--sample_steps", type=int, default=None)
+    p.add_argument("--latent_sample_steps", type=int, default=None,
+                   help="latent-flow NFE override (0 = sample_steps)")
     p.add_argument("--sampler", type=str, default=None,
                    choices=["euler", "midpoint", "heun", "rk4", "dopri5"])
     p.add_argument("--guidance_scale", type=float, default=None)
     p.add_argument("--eval_oversample", type=float, default=None,
                    help="density recipe: sample ceil(k*N) points per cloud "
                         "and FPS-subsample to N (1.0 = off)")
+    p.add_argument("--latent_prior_std", type=float, default=None,
+                   help="latent prior std override (diversity knob)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cond", type=float, nargs="*", default=None,
                    help="joint condition values (broadcast to all samples)")
     args = p.parse_args(argv)
 
     over = {k: getattr(args, k) for k in
-            ("sample_steps", "sampler", "guidance_scale",
-             "eval_oversample")}
+            ("sample_steps", "latent_sample_steps", "sampler",
+             "guidance_scale", "eval_oversample", "latent_prior_std")}
     cfg, bundle, state, ep = load_run(args.out_dir, over)
     sample_fn = make_sample_fn(bundle)
 

@@ -109,6 +109,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     # ========== Sampling / CFG / EMA ==========
     flag("--sample_steps", type=int, default=d.sample_steps)
+    flag("--latent_sample_steps", type=int, default=d.latent_sample_steps,
+         help="eval-time latent-flow NFE override (0 = sample_steps)")
     flag("--sampler", type=str, default=d.sampler,
          choices=["euler", "midpoint", "heun", "rk4", "dopri5"])
     flag("--guidance_scale", type=float, default=d.guidance_scale)
@@ -119,8 +121,8 @@ def build_parser() -> argparse.ArgumentParser:
     flag("--ema_eval", action="store_true", default=d.ema_eval)
 
     # ========== Loss ==========
-    for name in ("point", "latent", "color", "pair", "var", "cov", "zreg",
-                 "adv"):
+    for name in ("point", "latent", "color", "emd", "pair", "var", "cov",
+                 "zreg", "adv"):
         flag(f"--lambda_{name}", type=float,
              default=getattr(d, f"lambda_{name}"))
 

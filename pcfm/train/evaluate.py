@@ -94,8 +94,11 @@ def make_sample_fn(bundle: ModelBundle, use_ema: Optional[bool] = None):
         z0 = make_latent_prior(k_z, batch, cfg.latent_dim,
                                cfg.latent_prior_std)
         lf_vf = bundle.lf_velocity_fn(_lf_params(state, use_ema))
-        # latent flow is unconditional (cond=None both in train and here)
-        z = sampler(lf_vf, z0, max(1, cfg.sample_steps), cond=None,
+        # latent flow is unconditional (cond=None both in train and here);
+        # its NFE is independently overridable (latent_sample_steps)
+        lat_steps = int(getattr(cfg, "latent_sample_steps", 0)) \
+            or max(1, cfg.sample_steps)
+        z = sampler(lf_vf, z0, lat_steps, cond=None,
                     guidance_scale=0.0)
         cond_full = _cond_full(cfg, z, cond_j)
         pf_params, pf_stats = _pf_variables(state, use_ema)

@@ -145,6 +145,19 @@ def train_step(bundle: ModelBundle, tx, state: TrainState,
         metrics = {"loss_point": loss_point, "loss_latent": loss_latent,
                    "loss_pos": loss_pos, "loss_col": loss_col}
 
+        if cfg.lambda_emd > 0:
+            # density-aware endpoint EMD (see Config.lambda_emd): the
+            # one-step extrapolation to t=1 under the predicted field,
+            # matched to the data cloud as a MEASURE (approxmatch, analytic
+            # VJP).  xyz only — density is geometric; fp32 throughout.
+            from pcfm.ops.emd import earth_mover_distance
+            tb = t_pts.reshape((bsz, 1, 1)).astype(jnp.float32)
+            x1_hat = (x_t[..., :3].astype(jnp.float32)
+                      + (1.0 - tb) * pred_v[..., :3].astype(jnp.float32))
+            emd_loss = jnp.mean(earth_mover_distance(x1_hat, pts))
+            loss = loss + cfg.lambda_emd * emd_loss
+            metrics["loss_emd"] = emd_loss
+
         # ---- documented-but-unwired reference lambdas, wired here ----
         if cfg.lambda_zreg > 0:
             zreg = jnp.mean(z ** 2)

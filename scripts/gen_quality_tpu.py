@@ -80,6 +80,15 @@ from pcfm.train.step import make_train_step
 from pcfm.utils import save_point_cloud_ply_rgb
 
 
+def _dump_json(path, obj):
+    """Atomic JSON write: a session death mid-write must not leave a
+    truncated file (r4 ADVICE) — temp file in the same dir + os.replace."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     t_all = time.time()
@@ -121,6 +130,15 @@ def main():
                  sampler="heun",
                  sample_steps=int(os.environ.get("SAMPLE_STEPS", 25)),
                  guidance_scale=float(os.environ.get("GUIDANCE", 0.0)),
+                 # training-side density levers (r5, VERDICT #2): t-shape,
+                 # prior std, minibatch OT coupling — all default-reference
+                 t_beta_a=float(os.environ.get("T_BETA_A", 2.0)),
+                 fm_coupling=os.environ.get("FM_COUPLING", "indep"),
+                 point_prior_std=float(os.environ.get("PRIOR_STD", 1.0)),
+                 # endpoint-EMD fine-tune lever (Config.lambda_emd): set it
+                 # on a RESUME of a trained state for a short density-aware
+                 # phase — lambdas leave the flat param length unchanged
+                 lambda_emd=float(os.environ.get("LAMBDA_EMD", 0.0)),
                  seed=7)
     rng = jax.random.PRNGKey(cfg.seed)
     bundle, state, tx = init_state(cfg, rng,
@@ -176,13 +194,16 @@ def main():
         from jax.flatten_util import ravel_pytree
         flat, unravel = ravel_pytree(state)
         host = np.asarray(flat)
-        with open(os.path.join(OUT, "state_latest.pkl"), "wb") as f:
+        # atomic: a reset mid-write must not corrupt the only resume point
+        path = os.path.join(OUT, "state_latest.pkl")
+        with open(path + ".tmp", "wb") as f:
             pickle.dump({"flat": host, "unravel": None, "epoch": ep,
                          "gstep": gstep, "cfg": dataclasses.asdict(cfg),
                          "size": SIZE, "test": TEST, "npts": N, "batch": B,
                          "note": "rebuild via init_state + ravel_pytree "
                                  "unravel on an identically-configured "
                                  "state"}, f)
+        os.replace(path + ".tmp", path)
 
     def load_state(state, path):
         """Resume from a save_state pickle: unravel the flat vector into
@@ -260,8 +281,7 @@ def main():
                   f"({time.time() - t_sv:.0f}s)", flush=True)
         hist.append(row)
         print(f"[genq] {row}", flush=True)
-        with open(os.path.join(OUT, "history.json"), "w") as f:
-            json.dump(hist, f, indent=1)
+        _dump_json(os.path.join(OUT, "history.json"), hist)
         if done or time.time() - t_all > BUDGET_S:
             if not done:
                 print("[genq] budget out", flush=True)
@@ -296,8 +316,7 @@ def main():
     # write-as-you-go: each suite band is minutes of chip time, and a
     # session death between bands must not lose the completed ones
     # (run8's first attempt lost its whole sweep to a machine reset)
-    with open(os.path.join(OUT, "final_suite.json"), "w") as f:
-        json.dump(result, f, indent=1)
+    _dump_json(os.path.join(OUT, "final_suite.json"), result)
     recipes = ([{"guidance": g} for g in SWEEP] + list(RECIPES))
     if recipes:
         from pcfm.train.state import ModelBundle
@@ -307,7 +326,12 @@ def main():
                 cfg,
                 guidance_scale=float(r.get("guidance", cfg.guidance_scale)),
                 sample_steps=int(r.get("steps", cfg.sample_steps)),
-                eval_oversample=float(r.get("oversample", 1.0))))
+                eval_oversample=float(r.get("oversample", 1.0)),
+                # diversity knobs (r5, VERDICT #3): latent prior std and
+                # latent-flow NFE, swept independently of the point flow
+                latent_prior_std=float(r.get("latent_std",
+                                             cfg.latent_prior_std)),
+                latent_sample_steps=int(r.get("latent_steps", 0))))
 
         sweep_out = []
         if SWEEP_SEEDS == FINAL_SEEDS:
@@ -329,8 +353,8 @@ def main():
             sweep_out.append({"recipe": r, "agg": agg_r,
                               "per_seed": rows_r})
             print(f"[genq] sweep {r}: {agg_r}", flush=True)
-            with open(os.path.join(OUT, "guidance_sweep.json"), "w") as f:
-                json.dump(sweep_out, f, indent=1)   # incremental
+            _dump_json(os.path.join(OUT, "guidance_sweep.json"),
+                       sweep_out)                   # incremental
             if agg_r["nna_cd"]["mean"] < best_mean:
                 best_r, best_mean = r, agg_r["nna_cd"]["mean"]
         if sweep_out:
@@ -357,8 +381,7 @@ def main():
             os.path.join(OUT, f"gen_{i}.ply"))
         save_point_cloud_ply_rgb(te_pts[i], np.asarray(ds_te.rgbs[i]),
                                  os.path.join(OUT, f"ref_{i}.ply"))
-    with open(os.path.join(OUT, "final_suite.json"), "w") as f:
-        json.dump(result, f, indent=1)
+    _dump_json(os.path.join(OUT, "final_suite.json"), result)
     print(f"[genq] total {time.time() - t_all:.0f}s; history + PLYs in "
           f"{OUT}", flush=True)
 

@@ -65,15 +65,18 @@ def test_eval_cli_suite_mode(tmp_path):
     assert 0.0 <= res["cov_cd"] <= 1.0 and 0.0 <= res["nna_cd"] <= 1.0
 
 
-def test_cd_matrix_matches_per_pair():
+@pytest.mark.parametrize("nb", [48, 32])
+def test_cd_matrix_matches_per_pair(nb):
     """The batched lax.map matrix (one device call, r4) must equal the
     per-pair computation — rectangular sets + a gb not divisible by
-    pair_block exercise the padding path."""
+    pair_block exercise the padding path; nb != 48 pins the batched path
+    for clouds of DIFFERENT point counts (N != M), which cd_matrix's
+    (Ga,N,3) vs (Gb,M,3) contract permits (r4 ADVICE)."""
     from pcfm.ops.chamfer import chamfer_distance
     from pcfm.ops.emd import earth_mover_distance
     import jax.numpy as jnp
     a = _clouds(jax.random.PRNGKey(6), 4, n=48)
-    b = _clouds(jax.random.PRNGKey(7), 5, n=48)   # 5 % pair_block(3) != 0
+    b = _clouds(jax.random.PRNGKey(7), 5, n=nb)   # 5 % pair_block(3) != 0
     for metric in ("cd", "emd"):
         got = cd_matrix(a, b, pair_block=3, metric=metric)
         for i in range(4):

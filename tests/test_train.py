@@ -400,6 +400,30 @@ def test_eval_oversample_density_recipe():
     assert min_nn(x2) >= 0.9 * min_nn(x1)
 
 
+def test_latent_eval_knobs():
+    """Eval-time diversity knobs (r5): latent_sample_steps overrides the
+    latent flow's NFE independently of the point flow, latent_prior_std
+    scales the z prior; both change the output under a fixed key, neither
+    touches the output contract (shape, determinism, finiteness)."""
+    from pcfm.train.evaluate import make_sample_fn
+    from pcfm.train.state import ModelBundle
+    cfg = tiny_cfg(sample_steps=4)
+    bundle, state, _ = init_state(cfg, jax.random.PRNGKey(0), 10)
+    key = jax.random.PRNGKey(5)
+    base = np.asarray(make_sample_fn(bundle)(state, None, key, 2, 32))
+    for knob in ({"latent_sample_steps": 1}, {"latent_prior_std": 0.25}):
+        fn = make_sample_fn(ModelBundle(cfg.replace(**knob)))
+        x = np.asarray(fn(state, None, key, 2, 32))
+        xb = np.asarray(fn(state, None, key, 2, 32))
+        assert x.shape == base.shape and np.isfinite(x).all()
+        np.testing.assert_array_equal(x, xb)
+        assert not np.allclose(x, base), knob
+    # latent_sample_steps=0 means "use sample_steps" (the default path)
+    same = make_sample_fn(ModelBundle(cfg.replace(latent_sample_steps=4)))
+    np.testing.assert_allclose(
+        np.asarray(same(state, None, key, 2, 32)), base, atol=1e-6)
+
+
 def test_sliced_ot_permutation_properties():
     """The coupling is a true per-cloud permutation (marginal preserved)
     and reduces the expected pair distance vs independent pairing (the
@@ -436,3 +460,28 @@ def test_fm_coupling_sliced_ot_trains():
             first = float(m["loss"])
         last = float(m["loss"])
     assert np.isfinite(last) and last < first
+
+
+def test_lambda_emd_endpoint_loss_trains():
+    """lambda_emd (r5 density lever): the endpoint-EMD term is reported,
+    finite, and its analytic approxmatch VJP actually drives the point
+    flow — with the MSE FM loss OFF (lambda_point=0), pure endpoint-EMD
+    training must still reduce loss_emd over a few hundred tiny steps."""
+    cfg = tiny_cfg(lambda_emd=1.0, lambda_point=0.0)
+    key = jax.random.PRNGKey(0)
+    # a structured target (ring) so "hit the cloud as a measure" is a real
+    # task rather than matching an isotropic blob the prior already is
+    ang = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+    ring = np.stack([np.cos(ang), np.sin(ang), 0 * ang], -1)[None]
+    pts = jnp.asarray(np.repeat(ring, 4, axis=0), jnp.float32)
+    bundle, state, tx = init_state(cfg, jax.random.PRNGKey(1), 300)
+    step = make_train_step(bundle, tx, donate=False)
+    first = last = None
+    for i in range(300):
+        state, m = step(state, {"pts": pts}, jax.random.fold_in(key, i),
+                        jnp.float32(1.0), jnp.float32(0.0))
+        assert "loss_emd" in m
+        if i == 0:
+            first = float(m["loss_emd"])
+        last = float(m["loss_emd"])
+    assert np.isfinite(last) and last < 0.5 * first
