@@ -30,6 +30,9 @@ RUNS = [
      "final_run6.json", "guidance_sweep_run6.json"),
     ("run7", "2.7x cap, 400 clouds, 192-ref", "run7/history.json",
      "run7/final_suite.json", "run7/guidance_sweep.json"),
+    ("run8", "1x cap, 400 clouds, 192-ref (r5 recipe sweep)",
+     "run8/history.json", "run8/final_suite.json",
+     "run8/guidance_sweep.json"),
 ]
 
 
@@ -88,9 +91,12 @@ def main():
         if isinstance(s, list) and s and "agg" in s[0]:  # r4 schemas
             # guidance-only entries carry "guidance"; the late-r4 recipe
             # sweep carries a "recipe" dict (guidance/steps/oversample)
+            abbr = {"guidance": "g", "steps": "s", "oversample": "o",
+                    "latent_std": "lstd", "latent_steps": "lnfe"}
+
             def _tag(r):
                 if "recipe" in r:
-                    return ",".join(f"{k[0]}={v}"
+                    return ",".join(f"{abbr.get(k, k)}={v}"
                                     for k, v in r["recipe"].items())
                 return f"g={r['guidance']}"
             rows = ", ".join(f"{_tag(r)}: "
