@@ -139,6 +139,12 @@ def main():
                  # on a RESUME of a trained state for a short density-aware
                  # phase — lambdas leave the flat param length unchanged
                  lambda_emd=float(os.environ.get("LAMBDA_EMD", 0.0)),
+                 # LR env (fine-tune phases want a flat small LR rather
+                 # than the tail of the resumed cosine); scales all groups
+                 lr_enc=float(os.environ.get("LR", 3e-4)),
+                 lr_pf=float(os.environ.get("LR", 3e-4)),
+                 lr_lf=float(os.environ.get("LR", 3e-4)),
+                 use_cosine_lr=os.environ.get("COSINE", "1") != "0",
                  seed=7)
     rng = jax.random.PRNGKey(cfg.seed)
     bundle, state, tx = init_state(cfg, rng,
@@ -255,7 +261,7 @@ def main():
         color_on = jnp.float32(1.0 if ep > cfg.geom_warmup_epochs else 0.0)
         dp = jnp.float32(cfg.cfg_drop_p * min(
             1.0, ep / max(1, cfg.cfg_drop_warmup_epochs)))
-        lp = lz = 0.0
+        lp = lz = le = 0.0
         for si in range(steps_per_epoch):
             idx = jnp.asarray(order[si * B:(si + 1) * B])
             p, r, c = gather_batch(idx)
@@ -265,9 +271,12 @@ def main():
             if si >= steps_per_epoch - 2:
                 lp += float(m["loss_point"]) / 2
                 lz += float(m["loss_latent"]) / 2
+                le += float(m.get("loss_emd", 0.0)) / 2
         row = {"epoch": ep, "loss_point": round(lp, 4),
                "loss_latent": round(lz, 4),
                "elapsed_s": round(time.time() - t0, 1)}
+        if cfg.lambda_emd > 0:
+            row["loss_emd"] = round(le, 4)
         if ep % EVAL_EVERY == 0 or ep == EPOCHS:
             gen, suite = run_suite(state, ep)
             row.update({k: round(float(v), 4) for k, v in suite.items()})
