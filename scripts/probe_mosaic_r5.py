@@ -158,6 +158,121 @@ def build_taa():
     return run
 
 
+def taa_kernel_t(grid_ref, ids_ref, w_ref, o_ref):
+    # transposed layout: ids/w blocks are (1, 1, 8, TILE) so the LAST TWO
+    # block dims are (8, TILE) — Mosaic requires them divisible by (8, 128)
+    g = grid_ref[0]                                    # (R3, C) VMEM
+    acc = jnp.zeros((TILE, C), jnp.float32)
+    for kk in range(8):
+        idx = ids_ref[0, 0, kk]                        # (TILE,)
+        rows = jnp.take(g, idx, axis=0)                # dynamic row gather
+        acc = acc + w_ref[0, 0, kk][:, None] * rows
+    o_ref[0] = acc
+
+
+def build_taa_t():
+    n_pad = (N + TILE - 1) // TILE * TILE
+    n_tiles = n_pad // TILE
+
+    def pad_ids(ids8, w8):
+        padn = n_pad - N
+        ids_p = jnp.pad(ids8, ((0, 0), (0, 0), (0, padn)))
+        w_p = jnp.pad(w8, ((0, 0), (0, 0), (0, padn)))
+        # (B, 8, n_tiles, TILE) -> (B, n_tiles, 8, TILE)
+        return (ids_p.reshape(B, 8, n_tiles, TILE).transpose(0, 2, 1, 3),
+                w_p.reshape(B, 8, n_tiles, TILE).transpose(0, 2, 1, 3))
+
+    f = pl.pallas_call(
+        taa_kernel_t,
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, C), jnp.float32),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, R3, C), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 8, TILE), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, 1, 8, TILE), lambda b, t: (b, t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, C), lambda b, t: (b, t, 0)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )
+
+    @jax.jit
+    def run(grid, ids8, w8):
+        ids_t, w_t = pad_ids(ids8, w8)
+        return f(grid, ids_t, w_t)[:, :N]
+
+    return run
+
+
+def taa_kernel_taa(grid_ref, ids_ref, w_ref, o_ref):
+    # take_along_axis form: indices broadcast to the output shape so the
+    # gather is elementwise in the minor (lane) dim — the form Mosaic's
+    # gather lowering actually supports.
+    g = grid_ref[0]                                    # (R3, C) VMEM
+    acc = jnp.zeros((TILE, C), jnp.float32)
+    for kk in range(8):
+        idx = ids_ref[0, 0, kk]                        # (TILE,)
+        idx2 = jnp.broadcast_to(idx[:, None], (TILE, C))
+        rows = jnp.take_along_axis(g, idx2, axis=0)    # (TILE, C)
+        acc = acc + w_ref[0, 0, kk][:, None] * rows
+    o_ref[0] = acc
+
+
+def build_taa_taa():
+    n_pad = (N + TILE - 1) // TILE * TILE
+    n_tiles = n_pad // TILE
+
+    def pad_ids(ids8, w8):
+        padn = n_pad - N
+        ids_p = jnp.pad(ids8, ((0, 0), (0, 0), (0, padn)))
+        w_p = jnp.pad(w8, ((0, 0), (0, 0), (0, padn)))
+        return (ids_p.reshape(B, 8, n_tiles, TILE).transpose(0, 2, 1, 3),
+                w_p.reshape(B, 8, n_tiles, TILE).transpose(0, 2, 1, 3))
+
+    f = pl.pallas_call(
+        taa_kernel_taa,
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, C), jnp.float32),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, R3, C), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 8, TILE), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, 1, 8, TILE), lambda b, t: (b, t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, C), lambda b, t: (b, t, 0)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )
+
+    @jax.jit
+    def run(grid, ids8, w8):
+        ids_t, w_t = pad_ids(ids8, w8)
+        return f(grid, ids_t, w_t)[:, :N]
+
+    return run
+
+
+def case_taa_take_along():
+    grid, ids8, w8, _ = make_inputs()
+    run = build_taa_taa()
+    got = run(grid, ids8, w8)
+    want = jax.jit(xla_ref)(grid, ids8, w8)
+    err = float(jnp.max(jnp.abs(got - want)))
+    if err > 1e-3:
+        return f"WRONG maxerr {err:.2e}"
+    dt, _ = timeit(run, grid, ids8, w8)
+    return f"OK maxerr {err:.2e}, {dt:.2f} ms"
+
+
+def case_taa_fixed_layout():
+    grid, ids8, w8, _ = make_inputs()
+    run = build_taa_t()
+    got = run(grid, ids8, w8)
+    want = jax.jit(xla_ref)(grid, ids8, w8)
+    err = float(jnp.max(jnp.abs(got - want)))
+    if err > 1e-3:
+        return f"WRONG maxerr {err:.2e}"
+    dt, _ = timeit(run, grid, ids8, w8)
+    return f"OK maxerr {err:.2e}, {dt:.2f} ms"
+
+
 def xla_ref(grid, ids8, w8):
     # out[b,n,c] = sum_k w8[b,k,n] * grid[b, ids8[b,k,n], c]
     g = jnp.take_along_axis(grid[:, None], ids8[..., None], axis=2)
@@ -249,6 +364,10 @@ def case_time_xla():
 
 def main():
     try_case("taa_gather_real_32k_table", case_taa_real, min_budget=120)
+    try_case("taa_gather_fixed_layout", case_taa_fixed_layout,
+             min_budget=120)
+    try_case("taa_gather_take_along_axis", case_taa_take_along,
+             min_budget=120)
     try_case("hbm_dma_dynamic_offset", case_hbm_dma)
     try_case("dynslice_big_vmem", case_dynslice_big)
     try_case("production_gather_windows_devox_fwd", case_time_production,
