@@ -23,7 +23,17 @@ categories with ragged joint counts:
 
 One clean-exiting TPU session; summary JSON to OUT/summary.json and the
 repo record to docs/artnet_ragged.json.  Env knobs: PER_CAT (6),
-STEPS (6), COMBOS (12), EPOCHS (300), NPTS (2048).
+STEPS (6), COMBOS (6), EPOCHS (300), NPTS (2048).
+
+COMBOS defaults to 6 == STEPS deliberately: random_combinations caps at
+the pose-grid size (datagen/core.py:91), so a 1-joint object can yield
+at most STEPS poses while a 2-joint object would fill a larger request
+from its STEPS^2 grid — COMBOS > STEPS would hand the single 2-joint
+category MORE rows than the two 1-joint categories combined and flip
+the mode policy's majority (measured on hardware: COMBOS=12 gave
+51 dim-1 vs 57 dim-2 train rows and canon_dim=2 under "mode").  Equal
+per-object pose counts keep the ragged distribution {1: 2/3, 2: 1/3}
+the rehearsal is asserting about.
 """
 import json
 import os
@@ -51,7 +61,7 @@ ROOT = os.environ.get("OUT", "/tmp/pcfm_artnet_ragged")
 CATS = os.environ.get("CATS", "Scissors,Laptop,StorageFurniture")
 PER_CAT = os.environ.get("PER_CAT", "6")
 STEPS = os.environ.get("STEPS", "6")
-COMBOS = os.environ.get("COMBOS", "12")
+COMBOS = os.environ.get("COMBOS", "6")
 EPOCHS = int(os.environ.get("EPOCHS", 300))
 NPTS = int(os.environ.get("NPTS", 2048))
 BATCH = os.environ.get("BATCH", "16")
